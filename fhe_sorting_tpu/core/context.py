@@ -1,0 +1,431 @@
+"""RNS-CKKS crypto context: parameter registry + device precompute tables.
+
+This is the TPU-native replacement for OpenFHE's `CryptoContext<DCRTPoly>`
+that the reference builds in every test (e.g.
+/root/reference/tests/DirectSortTest.cpp:24-43).  Differences by design:
+
+  * The modulus chain is built from u32 NTT primes (< 2^31) because the TPU
+    VPU has no 64-bit integer datapath.  Instead of one 60-bit first modulus,
+    decryption headroom comes from *reserving extra base limbs*: a ciphertext
+    at the deepest level still holds `base_limbs` primes (~2^56 of modulus for
+    the default 2 x 28-bit), so slot values up to ~2^26 decrypt correctly
+    (ranks go up to N = 2048, cf. constructRank in sort_algo.h:368-506).
+
+  * Scale management follows OpenFHE's FLEXIBLEAUTO discipline: there is one
+    canonical scale per (level, scale-degree) and every ciphertext sits
+    exactly on it, so additions never need fudging.  The canonical scale
+    recursion s_{l+1} = s_l^2 / q_l is numerically unstable in f64 (error
+    doubles per level), so it is evaluated with 120-digit Decimal arithmetic
+    at context-build time and only rounded to f64 at encode time.
+
+  * The scaling primes are chosen *sequentially* so that the prime dropped at
+    level l is the closest available NTT prime to s_l^2 / Delta, keeping every
+    canonical scale within ~2^-9 of Delta.
+
+  * Key switching is hybrid (HPS-style) with `dnum` digits and approximate
+    (integer-only, correction-free) ModUp/ModDown: the u*D extension error is
+    annihilated mod Q*P by the P*(Q/D_j) gadget factor, and the ModDown
+    extension error adds only O(#special primes) of additive noise.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from decimal import Decimal, getcontext
+from typing import Optional
+
+import jax.numpy as jnp
+import jax.tree_util as tree_util
+import numpy as np
+
+from . import ntt as nttm
+from . import primes as primes_mod
+from .modmath import host_shoup
+
+getcontext().prec = 120
+
+
+@dataclass(frozen=True)
+class CkksParams:
+    """Declarative parameter set (replaces the reference's per-N switch
+    statements, sort_algo.h:87-205, with data)."""
+
+    ring_n: int                  # ring dimension (polynomial degree)
+    mult_depth: int              # usable multiplicative depth
+    scale_bits: int = 28         # log2 of the target scaling factor
+    special_bits: int = 30       # bit size of key-switch special primes
+    dnum: int = 3                # hybrid key-switch digit count
+    base_limbs: int = 2          # limbs reserved below the last rescale
+    sigma: float = 3.2           # error std-dev
+    ksk_shoup: bool = False      # store Shoup tables for KSK limbs (2x mem)
+
+    @property
+    def num_q(self) -> int:      # limbs of a fresh ciphertext
+        return self.mult_depth + self.base_limbs
+
+    @property
+    def max_slots(self) -> int:
+        return self.ring_n // 2
+
+
+def _choose_prime_chain(params: CkksParams):
+    """Pick scaling primes so canonical scales stay glued to 2^scale_bits.
+
+    Returns (q_primes ordered limb 0..Lq-1, canonical scales as Decimal per
+    level 0..mult_depth).  Limb Lq-1 is dropped first (level 0 rescale).
+    """
+    n, m = params.ring_n, 2 * params.ring_n
+    delta = Decimal(2) ** params.scale_bits
+
+    # Candidate pool around 2^scale_bits (both sides).
+    pool = []
+    center_k = (1 << params.scale_bits) // m
+    k_lo, k_hi = center_k, center_k + 1
+    while len(pool) < params.num_q + 4 * params.mult_depth + 64:
+        for k in (k_lo, k_hi):
+            cand = k * m + 1
+            if cand < 2**31 and primes_mod.is_prime(cand):
+                pool.append(cand)
+        k_lo -= 1
+        k_hi += 1
+        if k_lo <= 0:
+            raise ValueError("prime pool exhausted")
+    pool = sorted(set(pool))
+
+    used = set()
+
+    def take_nearest(target: Decimal) -> int:
+        best = min((p for p in pool if p not in used), key=lambda p: abs(Decimal(p) - target))
+        used.add(best)
+        return best
+
+    scales = [delta]
+    drop_order = []  # prime dropped at level l
+    for _ in range(params.mult_depth):
+        s = scales[-1]
+        q = take_nearest(s * s / delta)
+        drop_order.append(q)
+        scales.append(s * s / Decimal(q))
+
+    base = [take_nearest(delta) for _ in range(params.base_limbs)]
+    # limb order: base primes at the bottom, then scaling primes such that
+    # the *last* limb is dropped first.
+    q_primes = base + list(reversed(drop_order))
+    return q_primes, scales
+
+
+@dataclass(frozen=True)
+class PrimeConsts:
+    """Per-limb constants, stacked [L, 1] for broadcast over coefficients."""
+
+    p: jnp.ndarray
+    r2_32: jnp.ndarray
+    r2_32_shoup: jnp.ndarray
+    p_inv32: jnp.ndarray
+
+    def slice(self, idx) -> "PrimeConsts":
+        idx = np.asarray(idx)
+        return PrimeConsts(
+            self.p[idx], self.r2_32[idx], self.r2_32_shoup[idx], self.p_inv32[idx]
+        )
+
+
+tree_util.register_pytree_node(
+    PrimeConsts,
+    lambda c: ((c.p, c.r2_32, c.r2_32_shoup, c.p_inv32), None),
+    lambda aux, ch: PrimeConsts(*ch),
+)
+
+
+def _prime_consts(prime_list) -> PrimeConsts:
+    ps = np.asarray(prime_list, dtype=np.uint64)
+    r2 = (np.uint64(1 << 32) % ps).astype(np.uint64)
+    return PrimeConsts(
+        p=jnp.asarray(ps.astype(np.uint32)[:, None]),
+        r2_32=jnp.asarray(r2.astype(np.uint32)[:, None]),
+        r2_32_shoup=jnp.asarray(
+            np.stack([host_shoup(r2[i], int(ps[i])) for i in range(len(ps))])[:, None]
+        ),
+        p_inv32=jnp.asarray(
+            ((np.uint64(1) << np.uint64(32)) // ps).astype(np.uint32)[:, None]
+        ),
+    )
+
+
+@dataclass(frozen=True)
+class RescalePlan:
+    """Tables to divide by the level-l dropped prime (exact rounding)."""
+
+    qlast_mod_qi: jnp.ndarray        # [Ll-1, 1]
+    qlast_mod_qi_shoup: jnp.ndarray  # unused (kept for symmetry)
+    qlast_inv: jnp.ndarray           # [Ll-1, 1] q_drop^{-1} mod q_i
+    qlast_inv_shoup: jnp.ndarray
+    qlast_half: jnp.ndarray          # scalar u32
+
+
+tree_util.register_pytree_node(
+    RescalePlan,
+    lambda c: ((c.qlast_mod_qi, c.qlast_mod_qi_shoup, c.qlast_inv,
+                c.qlast_inv_shoup, c.qlast_half), None),
+    lambda aux, ch: RescalePlan(*ch),
+)
+
+
+@dataclass(frozen=True)
+class DigitPlan:
+    """ModUp tables for one hybrid digit at one level."""
+
+    limb_lo: int                     # static: first limb index of the digit
+    limb_hi: int                     # static: one past last limb index
+    dhat_inv: jnp.ndarray            # [alpha, 1] (D'_j/q_i)^{-1} mod q_i
+    dhat_inv_shoup: jnp.ndarray
+    ext_fac: jnp.ndarray             # [alpha, T, 1] (D'_j/q_i) mod q_target
+    ext_fac_shoup: jnp.ndarray
+
+
+tree_util.register_pytree_node(
+    DigitPlan,
+    lambda c: ((c.dhat_inv, c.dhat_inv_shoup, c.ext_fac, c.ext_fac_shoup),
+               (c.limb_lo, c.limb_hi)),
+    lambda aux, ch: DigitPlan(aux[0], aux[1], *ch),
+)
+
+
+@dataclass(frozen=True)
+class KeySwitchPlan:
+    """Everything key switching needs at a fixed ciphertext level."""
+
+    digits: tuple                    # tuple[DigitPlan]
+    target_idx: tuple                # static global prime indices (Q_l + P)
+    # ModDown (divide by P) tables:
+    phat_inv: jnp.ndarray            # [K, 1]
+    phat_inv_shoup: jnp.ndarray
+    pext_fac: jnp.ndarray            # [K, Ll, 1]
+    pext_fac_shoup: jnp.ndarray
+    p_inv_mod_qi: jnp.ndarray        # [Ll, 1]
+    p_inv_mod_qi_shoup: jnp.ndarray
+
+
+tree_util.register_pytree_node(
+    KeySwitchPlan,
+    lambda c: ((c.digits, c.phat_inv, c.phat_inv_shoup, c.pext_fac,
+                c.pext_fac_shoup, c.p_inv_mod_qi, c.p_inv_mod_qi_shoup),
+               (c.target_idx,)),
+    lambda aux, ch: KeySwitchPlan(ch[0], aux[0], *ch[1:]),
+)
+
+
+class Context:
+    """Host object bundling parameters, prime chain and device tables.
+
+    Device-array members form a pytree (see `device_tree`) that algorithm
+    programs take as a jit argument; the Python-side members (primes, scales,
+    galois cache) are static trace-time data.
+    """
+
+    def __init__(self, params: CkksParams):
+        self.params = params
+        self.q_primes, self._scales_dec = _choose_prime_chain(params)
+        sp_pool_skip = 0
+        self.sp_primes = list(
+            primes_mod.ntt_primes(
+                params.ring_n, params.special_bits,
+                # enough special primes to cover the largest digit
+                -(-params.num_q // params.dnum),
+                skip=sp_pool_skip,
+            )
+        )
+        assert not (set(self.sp_primes) & set(self.q_primes))
+        self.all_primes = list(self.q_primes) + list(self.sp_primes)
+        self.num_q = len(self.q_primes)
+        self.num_sp = len(self.sp_primes)
+        self.P = 1
+        for p in self.sp_primes:
+            self.P *= p
+
+        n = params.ring_n
+        self.tables = nttm.build_device_tables(tuple(self.all_primes), n)
+        self.pc = _prime_consts(self.all_primes)
+        self._host_psi_rev, self._host_ipsi_rev, self._host_ninv = (
+            nttm.build_host_tables(tuple(self.all_primes), n)
+        )
+
+        # canonical scales: scale(level, sdeg) = scales[level]^sdeg
+        self._scales_f64 = [float(s) for s in self._scales_dec]
+
+        self.rescale_plans = [self._build_rescale_plan(l) for l in range(params.mult_depth)]
+        self.ks_plans = [self._build_ks_plan(l) for l in range(params.mult_depth + 1)]
+
+        # evaluation-point exponent bookkeeping for automorphisms
+        self._root_exp = self._compute_root_exponents()
+        self._exp_pos = {int(e): i for i, e in enumerate(self._root_exp)}
+        self._galois_perm_cache = {}
+
+    # -- scale bookkeeping ------------------------------------------------
+
+    def scale(self, level: int, sdeg: int) -> float:
+        s = self._scales_dec[level]
+        return float(s ** sdeg)
+
+    def scale_dec(self, level: int) -> Decimal:
+        return self._scales_dec[level]
+
+    def drop_prime(self, level: int) -> int:
+        """The prime removed by the rescale performed *at* `level`."""
+        return self.q_primes[self.num_q - 1 - level]
+
+    def limbs_at(self, level: int) -> int:
+        return self.num_q - level
+
+    # -- rescale precompute ----------------------------------------------
+
+    def _build_rescale_plan(self, level: int) -> RescalePlan:
+        Ll = self.limbs_at(level)
+        q_last = self.q_primes[Ll - 1]
+        rest = self.q_primes[: Ll - 1]
+        qmod = np.array([q_last % p for p in rest], dtype=np.uint64)
+        qinv = np.array([pow(q_last, -1, p) for p in rest], dtype=np.uint64)
+        return RescalePlan(
+            qlast_mod_qi=jnp.asarray(qmod.astype(np.uint32)[:, None]),
+            qlast_mod_qi_shoup=jnp.asarray(
+                np.stack([host_shoup(qmod[i], rest[i]) for i in range(len(rest))])[:, None]
+            ),
+            qlast_inv=jnp.asarray(qinv.astype(np.uint32)[:, None]),
+            qlast_inv_shoup=jnp.asarray(
+                np.stack([host_shoup(qinv[i], rest[i]) for i in range(len(rest))])[:, None]
+            ),
+            qlast_half=jnp.uint32((q_last + 1) // 2),
+        )
+
+    # -- key-switch precompute -------------------------------------------
+
+    def digit_layout(self, level: int):
+        """Static digit partition of the active limbs at `level`."""
+        Ll = self.limbs_at(level)
+        alpha = -(-self.num_q // self.params.dnum)
+        out = []
+        lo = 0
+        while lo < Ll:
+            hi = min(lo + alpha, Ll)
+            out.append((lo, hi))
+            lo = hi
+        return out
+
+    def _build_ks_plan(self, level: int) -> KeySwitchPlan:
+        Ll = self.limbs_at(level)
+        active = self.q_primes[:Ll]
+        target_primes = active + self.sp_primes
+        target_idx = tuple(range(Ll)) + tuple(
+            range(self.num_q, self.num_q + self.num_sp)
+        )
+        digits = []
+        for (lo, hi) in self.digit_layout(level):
+            dp = active[lo:hi]
+            D = 1
+            for p in dp:
+                D *= p
+            dhat = [D // p for p in dp]
+            dhat_inv = np.array(
+                [pow(dhat[i], -1, dp[i]) for i in range(len(dp))], dtype=np.uint64
+            )
+            ext = np.zeros((len(dp), len(target_primes)), dtype=np.uint64)
+            ext_sh = np.zeros_like(ext)
+            for i in range(len(dp)):
+                for t, pt in enumerate(target_primes):
+                    v = dhat[i] % pt
+                    ext[i, t] = v
+                    ext_sh[i, t] = int(host_shoup(np.uint64(v), pt))
+            digits.append(
+                DigitPlan(
+                    limb_lo=lo,
+                    limb_hi=hi,
+                    dhat_inv=jnp.asarray(dhat_inv.astype(np.uint32)[:, None]),
+                    dhat_inv_shoup=jnp.asarray(
+                        np.stack(
+                            [host_shoup(dhat_inv[i], dp[i]) for i in range(len(dp))]
+                        )[:, None]
+                    ),
+                    ext_fac=jnp.asarray(ext.astype(np.uint32)[:, :, None]),
+                    ext_fac_shoup=jnp.asarray(ext_sh.astype(np.uint32)[:, :, None]),
+                )
+            )
+
+        # ModDown: P -> active Q
+        K = self.num_sp
+        phat = [self.P // p for p in self.sp_primes]
+        phat_inv = np.array(
+            [pow(phat[i], -1, self.sp_primes[i]) for i in range(K)], dtype=np.uint64
+        )
+        pext = np.zeros((K, Ll), dtype=np.uint64)
+        pext_sh = np.zeros_like(pext)
+        for i in range(K):
+            for t, q in enumerate(active):
+                v = phat[i] % q
+                pext[i, t] = v
+                pext_sh[i, t] = int(host_shoup(np.uint64(v), q))
+        pinv = np.array([pow(self.P, -1, q) for q in active], dtype=np.uint64)
+        return KeySwitchPlan(
+            digits=tuple(digits),
+            target_idx=target_idx,
+            phat_inv=jnp.asarray(phat_inv.astype(np.uint32)[:, None]),
+            phat_inv_shoup=jnp.asarray(
+                np.stack(
+                    [host_shoup(phat_inv[i], self.sp_primes[i]) for i in range(K)]
+                )[:, None]
+            ),
+            pext_fac=jnp.asarray(pext.astype(np.uint32)[:, :, None]),
+            pext_fac_shoup=jnp.asarray(pext_sh.astype(np.uint32)[:, :, None]),
+            p_inv_mod_qi=jnp.asarray(pinv.astype(np.uint32)[:, None]),
+            p_inv_mod_qi_shoup=jnp.asarray(
+                np.stack([host_shoup(pinv[i], active[i]) for i in range(Ll)])[:, None]
+            ),
+        )
+
+    # -- automorphism bookkeeping ----------------------------------------
+
+    def _compute_root_exponents(self) -> np.ndarray:
+        """exponent e_j s.t. NTT output index j = evaluation at psi^{e_j}."""
+        n = self.params.ring_n
+        p = self.all_primes[0]
+        x_poly = np.zeros(n, dtype=np.uint64)
+        x_poly[1] = 1
+        vals = nttm.host_ntt(x_poly, self._host_psi_rev[0], p)
+        psi = int(self._host_psi_rev[0][1])  # psi^{bitrev(1)} = psi^{2^{logn-1}}
+        # build power table of the primitive 2n-th root actually used
+        # (recover psi itself: table[1] = psi^{bitrev(1)}; instead recompute)
+        psi = primes_mod.primitive_root_2n(p, n)
+        pow_to_exp = {}
+        acc = 1
+        for e in range(2 * n):
+            pow_to_exp[acc] = e
+            acc = acc * psi % p
+        return np.array([pow_to_exp[int(v)] for v in vals], dtype=np.int64)
+
+    def galois_element_rot(self, r: int) -> int:
+        """Galois element for a left slot-rotation by r."""
+        m = 2 * self.params.ring_n
+        r = r % (self.params.ring_n // 2)
+        return pow(5, r, m)
+
+    def galois_perm(self, g: int) -> jnp.ndarray:
+        """Permutation perm with out[j] = in[perm[j]] for sigma_g in eval."""
+        if g not in self._galois_perm_cache:
+            m = 2 * self.params.ring_n
+            tgt = (g * self._root_exp) % m
+            perm = np.array([self._exp_pos[int(e)] for e in tgt], dtype=np.int32)
+            self._galois_perm_cache[g] = jnp.asarray(perm)
+        return self._galois_perm_cache[g]
+
+    # -- limb-sliced views ------------------------------------------------
+
+    def tables_for(self, idx) -> nttm.NttTables:
+        return nttm._limb_slice(self.tables, idx)
+
+    def pc_for(self, idx) -> PrimeConsts:
+        return self.pc.slice(idx)
+
+
+@functools.lru_cache(maxsize=8)
+def make_context(ring_n: int, mult_depth: int, **kw) -> Context:
+    return Context(CkksParams(ring_n=ring_n, mult_depth=mult_depth, **kw))

@@ -1,0 +1,228 @@
+"""Negacyclic number-theoretic transform over u32 limb planes.
+
+The forward transform (Cooley-Tukey, natural -> bit-reversed) and inverse
+(Gentleman-Sande, bit-reversed -> natural) follow the classic merged-twiddle
+formulation: the 2n-th root psi is folded into the twiddle tables so no
+separate pre/post twisting pass is needed.  Ciphertext polynomials live in
+the bit-reversed evaluation domain between operations; only rescale and
+key-switch base extension round-trip through the coefficient domain.
+
+Data layout: [..., num_limbs, n] u32, one prime per limb plane.  Twiddle
+tables are per-limb ([num_limbs, n]) with Shoup precomputation, so a single
+call transforms every limb of a polynomial at once - the XLA fallback path
+vectorizes over limbs on the VPU, and the Pallas kernel (ops in
+`fhe_sorting_tpu/core/pallas_ntt.py`) grids over limbs with the whole limb
+resident in VMEM.
+
+Role parity: this is the TPU-native equivalent of the NTT OpenFHE runs under
+every EvalMult/EvalRotate the reference issues (SURVEY.md section 2,
+"native components -> TPU equivalents").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import primes as primes_mod
+from .modmath import add_mod, host_shoup, shoup_mulmod, sub_mod
+
+
+def bit_reverse_indices(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+@dataclass(frozen=True)
+class NttTables:
+    """Device-side twiddle tables for a set of primes (one limb plane each)."""
+
+    p: jnp.ndarray            # [L, 1] u32 (pre-shaped for broadcast over n)
+    psi_rev: jnp.ndarray      # [L, n]
+    psi_rev_shoup: jnp.ndarray
+    ipsi_rev: jnp.ndarray     # [L, n]
+    ipsi_rev_shoup: jnp.ndarray
+    n_inv: jnp.ndarray        # [L, 1]
+    n_inv_shoup: jnp.ndarray  # [L, 1]
+
+    def tree_flatten(self):
+        return (
+            (self.p, self.psi_rev, self.psi_rev_shoup, self.ipsi_rev,
+             self.ipsi_rev_shoup, self.n_inv, self.n_inv_shoup),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+import jax.tree_util as _tree_util  # noqa: E402
+
+_tree_util.register_pytree_node(
+    NttTables, NttTables.tree_flatten, NttTables.tree_unflatten
+)
+
+
+def build_host_tables(prime_list, n: int):
+    """Numpy twiddle tables; also used by the host-side keygen NTT."""
+    rev = bit_reverse_indices(n)
+    L = len(prime_list)
+    psi_rev = np.zeros((L, n), dtype=np.uint64)
+    ipsi_rev = np.zeros((L, n), dtype=np.uint64)
+    n_inv = np.zeros((L,), dtype=np.uint64)
+    for li, p in enumerate(prime_list):
+        psi = primes_mod.primitive_root_2n(p, n)
+        ipsi = pow(psi, -1, p)
+        pows = np.zeros(n, dtype=np.uint64)
+        ipows = np.zeros(n, dtype=np.uint64)
+        acc = 1
+        iacc = 1
+        for i in range(n):
+            pows[i] = acc
+            ipows[i] = iacc
+            acc = acc * psi % p
+            iacc = iacc * ipsi % p
+        psi_rev[li] = pows[rev]
+        ipsi_rev[li] = ipows[rev]
+        n_inv[li] = pow(n, -1, p)
+    return psi_rev, ipsi_rev, n_inv
+
+
+def build_device_tables(prime_list, n: int) -> NttTables:
+    psi_rev, ipsi_rev, n_inv = build_host_tables(prime_list, n)
+    L = len(prime_list)
+    psi_sh = np.zeros((L, n), dtype=np.uint32)
+    ipsi_sh = np.zeros((L, n), dtype=np.uint32)
+    ninv_sh = np.zeros((L,), dtype=np.uint32)
+    for li, p in enumerate(prime_list):
+        psi_sh[li] = host_shoup(psi_rev[li], p)
+        ipsi_sh[li] = host_shoup(ipsi_rev[li], p)
+        ninv_sh[li] = host_shoup(n_inv[li], p)
+    pcol = np.asarray(prime_list, dtype=np.uint32)[:, None]
+    return NttTables(
+        p=jnp.asarray(pcol),
+        psi_rev=jnp.asarray(psi_rev.astype(np.uint32)),
+        psi_rev_shoup=jnp.asarray(psi_sh),
+        ipsi_rev=jnp.asarray(ipsi_rev.astype(np.uint32)),
+        ipsi_rev_shoup=jnp.asarray(ipsi_sh),
+        n_inv=jnp.asarray(n_inv.astype(np.uint32)[:, None]),
+        n_inv_shoup=jnp.asarray(ninv_sh[:, None]),
+    )
+
+
+def _limb_slice(tables: NttTables, limb_idx) -> NttTables:
+    """Tables restricted to a subset of limb planes (list/array of indices)."""
+    idx = np.asarray(limb_idx)
+    return NttTables(
+        p=tables.p[idx],
+        psi_rev=tables.psi_rev[idx],
+        psi_rev_shoup=tables.psi_rev_shoup[idx],
+        ipsi_rev=tables.ipsi_rev[idx],
+        ipsi_rev_shoup=tables.ipsi_rev_shoup[idx],
+        n_inv=tables.n_inv[idx],
+        n_inv_shoup=tables.n_inv_shoup[idx],
+    )
+
+
+def ntt(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
+    """Forward negacyclic NTT.  a: [..., L, n] coeff order -> bitrev eval."""
+    *lead, L, n = a.shape
+    logn = n.bit_length() - 1
+    p = t.p.reshape((1,) * len(lead) + (L, 1, 1, 1))
+    x = a
+    for s in range(logn):
+        m = 1 << s
+        half = n >> (s + 1)
+        x = x.reshape(*lead, L, m, 2, half)
+        S = t.psi_rev[:, m : 2 * m].reshape((1,) * len(lead) + (L, m, 1))
+        Ssh = t.psi_rev_shoup[:, m : 2 * m].reshape((1,) * len(lead) + (L, m, 1))
+        u = x[..., 0, :]
+        v = shoup_mulmod(x[..., 1, :], S, Ssh, p[..., 0, :])
+        x = jnp.stack(
+            [add_mod(u, v, p[..., 0, :]), sub_mod(u, v, p[..., 0, :])], axis=-2
+        )
+    return x.reshape(*lead, L, n)
+
+
+def intt(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
+    """Inverse NTT.  a: [..., L, n] bitrev eval order -> coeff order."""
+    *lead, L, n = a.shape
+    logn = n.bit_length() - 1
+    x = a
+    for s in range(logn - 1, -1, -1):
+        m = 1 << s
+        half = n >> (s + 1)
+        x = x.reshape(*lead, L, m, 2, half)
+        S = t.ipsi_rev[:, m : 2 * m].reshape((1,) * len(lead) + (L, m, 1))
+        Ssh = t.ipsi_rev_shoup[:, m : 2 * m].reshape((1,) * len(lead) + (L, m, 1))
+        pb = t.p.reshape((1,) * len(lead) + (L, 1, 1))
+        u = x[..., 0, :]
+        v = x[..., 1, :]
+        s0 = add_mod(u, v, pb)
+        s1 = shoup_mulmod(sub_mod(u, v, pb), S, Ssh, pb)
+        x = jnp.stack([s0, s1], axis=-2)
+    x = x.reshape(*lead, L, n)
+    pb = t.p.reshape((1,) * len(lead) + (L, 1))
+    ninv = t.n_inv.reshape((1,) * len(lead) + (L, 1))
+    ninv_sh = t.n_inv_shoup.reshape((1,) * len(lead) + (L, 1))
+    return shoup_mulmod(x, ninv, ninv_sh, pb)
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy uint64) transforms for keygen / encode exactness checks.
+# ---------------------------------------------------------------------------
+
+
+def host_ntt(a: np.ndarray, psi_rev_l: np.ndarray, p: int) -> np.ndarray:
+    """Forward NTT of one limb on the host.  a: [n] u64, canonical residues."""
+    n = a.shape[0]
+    logn = n.bit_length() - 1
+    x = a.astype(np.uint64).copy()
+    P = np.uint64(p)
+    for s in range(logn):
+        m = 1 << s
+        half = n >> (s + 1)
+        x = x.reshape(m, 2, half)
+        S = psi_rev_l[m : 2 * m].astype(np.uint64)[:, None]
+        u = x[:, 0, :]
+        v = x[:, 1, :] * S % P
+        x = np.stack([(u + v) % P, (u + P - v) % P], axis=1)
+    return x.reshape(n)
+
+
+def host_intt(a: np.ndarray, ipsi_rev_l: np.ndarray, n_inv_l: int, p: int) -> np.ndarray:
+    n = a.shape[0]
+    logn = n.bit_length() - 1
+    x = a.astype(np.uint64).copy()
+    P = np.uint64(p)
+    for s in range(logn - 1, -1, -1):
+        m = 1 << s
+        half = n >> (s + 1)
+        x = x.reshape(m, 2, half)
+        S = ipsi_rev_l[m : 2 * m].astype(np.uint64)[:, None]
+        u = x[:, 0, :]
+        v = x[:, 1, :]
+        x = np.stack([(u + v) % P, (u + P - v) % P * S % P], axis=1)
+    return x.reshape(n) * np.uint64(n_inv_l) % P
+
+
+def host_negacyclic_mul(a: np.ndarray, b: np.ndarray, p: int) -> np.ndarray:
+    """Schoolbook negacyclic product mod (x^n + 1, p) - test oracle only."""
+    n = len(a)
+    out = np.zeros(n, dtype=object)
+    for i in range(n):
+        for j in range(n):
+            k = i + j
+            v = int(a[i]) * int(b[j])
+            if k >= n:
+                out[k - n] -= v
+            else:
+                out[k] += v
+    return np.array([int(v) % p for v in out], dtype=np.uint64)

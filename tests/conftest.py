@@ -1,0 +1,18 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Mirrors the reference's "insecure fast params" test strategy
+(/root/reference/tests/DirectSortNTest.cpp:24-27 uses HEStd_NotSet with small
+rings): unit tests here run small rings on CPU; sharding tests use the 8
+virtual CPU devices as a stand-in mesh for a TPU slice.
+
+Note: in this container the axon TPU plugin forces jax_platforms at import
+time, so the env var alone is not enough - we must update jax.config.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
