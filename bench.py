@@ -1,0 +1,105 @@
+"""End-to-round benchmark: encrypted sort wall-clock on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the only complete end-to-end numbers the reference publishes are
+the k-way k=2 10-trial means at 128-bit security, ring 2^17
+(BASELINE.md: N=128 -> 2485.52 s, N=16 -> 472.66 s on an unspecified CPU).
+We benchmark our flagship DirectSort at matching array size and comparable
+security (>= 128-bit for the modulus we carry) and report
+vs_baseline = baseline_seconds / our_seconds (speedup factor; algorithms
+differ - DirectSort is the reference's own headline algorithm, whose runs
+the reference left unrecorded).
+
+Usage: python bench.py [--n 128] [--ring 65536] [--depth 34] [--trials 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+# Reference k-way k=2 mean sort times (comparison/experimental_results)
+BASELINE_S = {4: 89.34, 8: 249.99, 16: 472.66, 32: 911.74, 64: 1292.26,
+              128: 2485.52, 256: 3846.34, 512: 4625.21, 1024: 5732.39}
+
+
+def run(n_arr: int, ring: int, depth: int, trials: int, dg: int, df: int):
+    import numpy as np
+
+    from fhe_sorting_tpu.core.context import CkksParams, Context
+    from fhe_sorting_tpu.core.evaluator import Evaluator
+    from fhe_sorting_tpu.core.keys import Keys
+    from fhe_sorting_tpu.models.direct_sort import (
+        DirectSort, rotation_indices_direct_sort,
+    )
+    from fhe_sorting_tpu.ops.sign import (
+        CompositeSignConfig, SignConfig, SignFunc,
+    )
+
+    t0 = time.time()
+    ctx = Context(CkksParams(ring_n=ring, mult_depth=depth))
+    keys = Keys.generate(ctx, seed=0)
+    steps = rotation_indices_direct_sort(n_arr, ring) | {
+        1 << i for i in range(ring.bit_length() - 2)
+    }
+    keys.gen_rotation_keys(sorted(steps))
+    ev = Evaluator(ctx, keys)
+    srt = DirectSort(ev, n_arr)
+    cfg = SignConfig(CompositeSignConfig(3, dg, df))
+    print(f"# setup {time.time()-t0:.1f}s (ring {ring}, depth {depth}, "
+          f"Lq={ctx.num_q}, K={ctx.num_sp})", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    vals = rng.permutation(n_arr) / n_arr + 0.5 / n_arr
+    ct = keys.encrypt(vals)
+
+    # warm-up run compiles every (op, level) combination
+    t0 = time.time()
+    out = srt.sort(ct, SignFunc.CompositeSign, cfg)
+    out.data.block_until_ready()
+    warm = time.time() - t0
+    print(f"# warm-up (incl. compile): {warm:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(trials):
+        t0 = time.time()
+        out = srt.sort(ct, SignFunc.CompositeSign, cfg)
+        out.data.block_until_ready()
+        times.append(time.time() - t0)
+    best = min(times)
+
+    got = keys.decrypt(out, n_arr)
+    err = float(np.abs(got - np.sort(vals)).max())
+    print(f"# max sort error: {err:.2e}", file=sys.stderr)
+    return best, err
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--ring", type=int, default=65536)
+    ap.add_argument("--depth", type=int, default=34)
+    ap.add_argument("--trials", type=int, default=1)
+    ap.add_argument("--dg", type=int, default=3)
+    ap.add_argument("--df", type=int, default=2)
+    args = ap.parse_args()
+
+    best, err = run(args.n, args.ring, args.depth, args.trials, args.dg, args.df)
+    base = BASELINE_S.get(args.n)
+    print(json.dumps({
+        "metric": f"directsort_n{args.n}_ring{args.ring}_wall_clock",
+        "value": round(best, 3),
+        "unit": "s",
+        "vs_baseline": round(base / best, 2) if base else None,
+        "max_error": err,
+        "baseline_ref_s": base,
+        "baseline_src": "kway_k2 total_results.txt (reference CPU)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,119 +1,155 @@
 """Homomorphic evaluation ops over u32 limb planes (the OpenFHE Eval* surface).
 
-Implements the exact API surface the reference exercises (SURVEY.md section 2
-"OpenFHE API actually exercised"): add/sub/negate, ct*pt and ct*ct multiply
-with relinearisation, rescale, rotations with hoisted precompute
-(EvalFastRotationPrecompute/EvalFastRotation parity, rotation.h:286,343-347),
-and the FLEXIBLEAUTO scale/level auto-adjustment that the reference's depth
-budgets (sort_algo.h:87-201) assume.
+Implements the API surface the reference exercises (SURVEY.md section 2):
+add/sub/negate, ct*pt and ct*ct multiply with relinearisation, rescale,
+rotations with hoisted precompute (EvalFastRotationPrecompute/EvalFastRotation
+parity, rotation.h:286,343-347), and FLEXIBLEAUTO scale/level auto-adjustment
+so the reference's depth budgets (sort_algo.h:87-201) hold.
 
-Everything here is pure jnp on static shapes: it runs eagerly on CPU for
-tests and is jitted whole-program for TPU benchmarks.  Trace-time metadata
-(level/sdeg/slots) lives in the Ciphertext pytree aux data.
+Architecture for TPU dispatch/compile efficiency:
+
+  * Every jitted entry point receives the big device state - full NTT
+    twiddle tables, prime constants, per-level key-switch plans, and the
+    relevant key-switch key - as *explicit pytree arguments*.  Closed-over
+    jax.Arrays would be baked as literals into every executable (duplicating
+    hundreds of MB of KSK per compiled op); passing them keeps one
+    device-resident copy shared by all executables.
+
+  * Rotation permutations are traced arguments, so all rotation steps at a
+    given (level, sdeg) share ONE compiled program; the galois element only
+    selects which perm/KSK arrays are passed in.
+
+  * Scalar add/mult pass the per-limb residue vector as a traced argument,
+    so distinct scalar constants do not trigger recompiles.
+
+Compiles are therefore keyed only by (op, level, sdeg, slots-shape), a small
+bounded set.
 """
 
 from __future__ import annotations
 
-import functools
+from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
+import jax.tree_util as tree_util
 import numpy as np
 
 from . import ntt as nttm
 from .cipher import Ciphertext, Plaintext
-from .context import Context
+from .context import Context, PrimeConsts
 from .encoding import coeffs_to_residues, encode_coeffs
 from .keys import KeySwitchKey, Keys, _host_ntt_all
 from .modmath import add_mod, barrett_mulmod, neg_mod, reduce_u32, shoup_mulmod, sub_mod
 
 
-class Evaluator:
-    """Stateless op collection bound to a Context + Keys.
+@dataclass(frozen=True)
+class DevState:
+    """Full device-resident tables, passed into every jitted op."""
 
-    Mirrors the role of OpenFHE's CryptoContext as used by the reference;
-    methods are pure functions of their ciphertext arguments.
-    """
+    tables: nttm.NttTables           # over all Q+P primes
+    pc: PrimeConsts                  # over all Q+P primes
+    ks_plans: tuple                  # per-level KeySwitchPlan
+    rescale_plans: tuple             # per-level RescalePlan
+
+
+tree_util.register_pytree_node(
+    DevState,
+    lambda d: ((d.tables, d.pc, d.ks_plans, d.rescale_plans), None),
+    lambda aux, ch: DevState(*ch),
+)
+
+
+def _tab_slice(t: nttm.NttTables, lo: int, hi: int) -> nttm.NttTables:
+    return nttm.NttTables(
+        p=t.p[lo:hi], psi_rev=t.psi_rev[lo:hi],
+        psi_rev_shoup=t.psi_rev_shoup[lo:hi], ipsi_rev=t.ipsi_rev[lo:hi],
+        ipsi_rev_shoup=t.ipsi_rev_shoup[lo:hi], n_inv=t.n_inv[lo:hi],
+        n_inv_shoup=t.n_inv_shoup[lo:hi],
+    )
+
+
+def _tab_concat(a: nttm.NttTables, b: nttm.NttTables) -> nttm.NttTables:
+    cat = lambda x, y: jnp.concatenate([x, y], axis=0)
+    return nttm.NttTables(
+        p=cat(a.p, b.p), psi_rev=cat(a.psi_rev, b.psi_rev),
+        psi_rev_shoup=cat(a.psi_rev_shoup, b.psi_rev_shoup),
+        ipsi_rev=cat(a.ipsi_rev, b.ipsi_rev),
+        ipsi_rev_shoup=cat(a.ipsi_rev_shoup, b.ipsi_rev_shoup),
+        n_inv=cat(a.n_inv, b.n_inv), n_inv_shoup=cat(a.n_inv_shoup, b.n_inv_shoup),
+    )
+
+
+def _pc_slice(pc: PrimeConsts, lo: int, hi: int) -> PrimeConsts:
+    return PrimeConsts(pc.p[lo:hi], pc.r2_32[lo:hi], pc.r2_32_shoup[lo:hi],
+                       pc.p_inv32[lo:hi])
+
+
+def _pc_concat(a: PrimeConsts, b: PrimeConsts) -> PrimeConsts:
+    cat = lambda x, y: jnp.concatenate([x, y], axis=0)
+    return PrimeConsts(cat(a.p, b.p), cat(a.r2_32, b.r2_32),
+                       cat(a.r2_32_shoup, b.r2_32_shoup),
+                       cat(a.p_inv32, b.p_inv32))
+
+
+class Evaluator:
+    """Op collection bound to a Context + Keys (role parity: CryptoContext)."""
 
     def __init__(self, ctx: Context, keys: Keys, jit_ops: bool = True):
         self.ctx = ctx
         self.keys = keys
-        self._tables_cache = {}
-        self._pc_cache = {}
-        # Pre-populate every limb-slice view eagerly: doing it lazily inside a
-        # jit trace would cache traced values (tracer leak).
-        for lvl in range(ctx.params.mult_depth + 1):
-            Ll = ctx.limbs_at(lvl)
-            plan = ctx.ks_plans[lvl]
-            for idx in (
-                tuple(range(Ll)),
-                tuple(range(Ll - 1)),
-                (Ll - 1,),
-                tuple(range(ctx.num_q, ctx.num_q + ctx.num_sp)),
-                plan.target_idx,
-            ):
-                if idx:
-                    self._tables(idx)
-                    self._pc(idx)
-            for dp in plan.digits:
-                self._pc(tuple(range(dp.limb_lo, dp.limb_hi)))
-        # Per-instance jitted entry points.  Ciphertext metadata is pytree
-        # aux-data, so each distinct (level, sdeg, slots, op) combination
-        # compiles once and is then dispatched from cache; scalars and
-        # rotation steps are static arguments.
         self.jit_ops = jit_ops
+        self._dev = DevState(
+            tables=ctx.tables, pc=ctx.pc,
+            ks_plans=tuple(ctx.ks_plans),
+            rescale_plans=tuple(ctx.rescale_plans),
+        )
         if jit_ops:
-            import jax
-
-            self._jit_add_ct = jax.jit(self._align_then(add_mod))
-            self._jit_sub_ct = jax.jit(self._align_then(sub_mod))
-            self._jit_add_scalar = jax.jit(self._add_scalar, static_argnums=1)
+            self._jit_add_ct = jax.jit(self._add_ct_impl)
+            self._jit_sub_ct = jax.jit(self._sub_ct_impl)
+            self._jit_add_sc = jax.jit(self._add_scalar_impl)
             self._jit_add_pt = jax.jit(self._add_pt)
             self._jit_sub_pt = jax.jit(self._sub_pt)
             self._jit_negate = jax.jit(self._negate_impl)
-            self._jit_mult_ct = jax.jit(self._mult_ct)
-            self._jit_mult_scalar = jax.jit(self._mult_scalar, static_argnums=1)
-            self._jit_mult_plain = jax.jit(self._mult_plain_adj)
+            self._jit_mult_ct = jax.jit(self._mult_ct_impl)
+            self._jit_mult_sc = jax.jit(self._mult_scalar_impl)
+            self._jit_mult_pt = jax.jit(self._mult_plain_impl)
             self._jit_square = jax.jit(self._square_impl)
-            self._jit_rescale = jax.jit(self.rescale)
-            self._jit_rotate = jax.jit(self._automorphism, static_argnums=1)
-            self._jit_rotate_hoisted = jax.jit(
-                self._rotate_hoisted_impl, static_argnums=2
-            )
-            self._jit_rotate_pre = jax.jit(
-                lambda a: self._modup(a.data[1], a.level)
-            )
-            self._jit_adjust_level = jax.jit(self.adjust_level, static_argnums=1)
+            self._jit_rescale = jax.jit(self._rescale_full)
+            self._jit_rot = jax.jit(self._automorphism_impl)
+            self._jit_rot_pre = jax.jit(self._rotate_precompute_impl)
+            self._jit_rot_hoist = jax.jit(self._rotate_hoisted_impl)
 
-    def _align_then(self, op):
-        def f(a, b):
-            a, b = self._align_add(a, b)
-            p = self._pc(self._active_idx(a.level)).p[None]
-            return a.with_data(op(a.data, b.data, p))
+    # -- trace-time helpers ------------------------------------------------
 
-        return f
+    def _q_count(self) -> int:
+        return self.ctx.num_q
 
-    # -- cached limb-sliced tables ---------------------------------------
+    def _active(self, dev: DevState, level: int):
+        Ll = self.ctx.limbs_at(level)
+        return _tab_slice(dev.tables, 0, Ll), _pc_slice(dev.pc, 0, Ll)
 
-    def _tables(self, idx: tuple):
-        if idx not in self._tables_cache:
-            self._tables_cache[idx] = self.ctx.tables_for(list(idx))
-        return self._tables_cache[idx]
+    def _special(self, dev: DevState):
+        lo = self.ctx.num_q
+        hi = lo + self.ctx.num_sp
+        return _tab_slice(dev.tables, lo, hi), _pc_slice(dev.pc, lo, hi)
 
-    def _pc(self, idx: tuple):
-        if idx not in self._pc_cache:
-            self._pc_cache[idx] = self.ctx.pc_for(list(idx))
-        return self._pc_cache[idx]
+    def _target(self, dev: DevState, level: int):
+        ta, pa = self._active(dev, level)
+        ts, ps = self._special(dev)
+        return _tab_concat(ta, ts), _pc_concat(pa, ps)
 
-    def _active_idx(self, level: int) -> tuple:
-        return tuple(range(self.ctx.limbs_at(level)))
+    def _scalar_limbs(self, c: float, level: int, scale: float) -> jnp.ndarray:
+        m = int(np.rint(np.float64(c) * scale))
+        Ll = self.ctx.limbs_at(level)
+        out = np.array([m % p for p in self.ctx.q_primes[:Ll]], dtype=np.uint64)
+        return jnp.asarray(out.astype(np.uint32)[:, None])
 
-    # -- plaintext construction ------------------------------------------
+    # -- plaintext construction (host side) --------------------------------
 
     def make_plaintext(self, values, level: int, sdeg: int = 1,
                        slots: int | None = None) -> Plaintext:
-        """Host-encode a vector plaintext at the canonical (level, sdeg) scale
-        (MakeCKKSPackedPlaintext with explicit level/slots parity,
-        sort_algo.h:317-318)."""
+        """MakeCKKSPackedPlaintext parity (explicit level/slots args)."""
         ctx = self.ctx
         values = np.asarray(values, dtype=np.float64)
         s = slots if slots is not None else len(values)
@@ -124,135 +160,131 @@ class Evaluator:
         ev = _host_ntt_all(ctx, res, range(Ll))
         return Plaintext(jnp.asarray(ev.astype(np.uint32)), level, sdeg, s)
 
-    def _scalar_limbs(self, c: float, level: int, sdeg_scale: float) -> np.ndarray:
-        """round(c * scale) reduced mod each active prime -> [Ll, 1] u32."""
-        m = int(np.rint(np.float64(c) * sdeg_scale))
-        Ll = self.ctx.limbs_at(level)
-        out = np.array(
-            [m % p for p in self.ctx.q_primes[:Ll]], dtype=np.uint64
-        )
-        return out.astype(np.uint32)[:, None]
+    # -- add / sub / neg ---------------------------------------------------
 
-    # -- add / sub / neg --------------------------------------------------
-
-    def _align_add(self, a: Ciphertext, b: Ciphertext):
+    def _align_add(self, a: Ciphertext, b: Ciphertext, dev: DevState):
         if a.level != b.level:
             if a.level < b.level:
-                a = self.adjust_level(a, b.level)
+                a = self._adjust_level_impl(a, b.level, dev)
             else:
-                b = self.adjust_level(b, a.level)
+                b = self._adjust_level_impl(b, a.level, dev)
         if a.sdeg != b.sdeg:
             if a.sdeg == 1:
-                a = self._to_sdeg2(a)
+                a = self._to_sdeg2(a, dev)
             else:
-                b = self._to_sdeg2(b)
+                b = self._to_sdeg2(b, dev)
         return a, b
 
-    def _add_pt(self, a: Ciphertext, b: Plaintext) -> Ciphertext:
+    def _add_ct_impl(self, a, b, dev):
+        a, b = self._align_add(a, b, dev)
+        _, pc = self._active(dev, a.level)
+        return a.with_data(add_mod(a.data, b.data, pc.p[None]))
+
+    def _sub_ct_impl(self, a, b, dev):
+        a, b = self._align_add(a, b, dev)
+        _, pc = self._active(dev, a.level)
+        return a.with_data(sub_mod(a.data, b.data, pc.p[None]))
+
+    def _add_pt(self, a: Ciphertext, b: Plaintext, dev):
         assert b.level == a.level and b.sdeg == a.sdeg, "pt/ct mismatch"
-        p = self._pc(self._active_idx(a.level)).p[None]
-        d0 = add_mod(a.data[0], b.data, p[0])
+        _, pc = self._active(dev, a.level)
+        d0 = add_mod(a.data[0], b.data, pc.p)
         return a.with_data(jnp.stack([d0, a.data[1]]))
 
-    def _sub_pt(self, a: Ciphertext, b: Plaintext) -> Ciphertext:
+    def _sub_pt(self, a: Ciphertext, b: Plaintext, dev):
         assert b.level == a.level and b.sdeg == a.sdeg
-        p = self._pc(self._active_idx(a.level)).p[None]
-        d0 = sub_mod(a.data[0], b.data, p[0])
+        _, pc = self._active(dev, a.level)
+        d0 = sub_mod(a.data[0], b.data, pc.p)
         return a.with_data(jnp.stack([d0, a.data[1]]))
 
-    def _add_scalar(self, a: Ciphertext, c: float) -> Ciphertext:
-        # scalar: constant polynomial addition, eval-domain broadcast
-        scale = self.ctx.scale(a.level, a.sdeg)
-        sc = jnp.asarray(self._scalar_limbs(c, a.level, scale))
-        p = self._pc(self._active_idx(a.level)).p
-        d0 = add_mod(a.data[0], sc, p)
+    def _add_scalar_impl(self, a: Ciphertext, sc, dev):
+        _, pc = self._active(dev, a.level)
+        d0 = add_mod(a.data[0], sc, pc.p)
         return a.with_data(jnp.stack([d0, a.data[1]]))
+
+    def _negate_impl(self, a: Ciphertext, dev):
+        _, pc = self._active(dev, a.level)
+        return a.with_data(neg_mod(a.data, pc.p[None]))
 
     def add(self, a: Ciphertext, b) -> Ciphertext:
         if isinstance(b, Ciphertext):
-            if self.jit_ops:
-                return self._jit_add_ct(a, b)
-            a, b = self._align_add(a, b)
-            p = self._pc(self._active_idx(a.level)).p[None]
-            return a.with_data(add_mod(a.data, b.data, p))
+            f = self._jit_add_ct if self.jit_ops else self._add_ct_impl
+            return f(a, b, self._dev)
         if isinstance(b, Plaintext):
-            return self._jit_add_pt(a, b) if self.jit_ops else self._add_pt(a, b)
-        if self.jit_ops:
-            return self._jit_add_scalar(a, float(b))
-        return self._add_scalar(a, float(b))
+            f = self._jit_add_pt if self.jit_ops else self._add_pt
+            return f(a, b, self._dev)
+        sc = self._scalar_limbs(float(b), a.level, self.ctx.scale(a.level, a.sdeg))
+        f = self._jit_add_sc if self.jit_ops else self._add_scalar_impl
+        return f(a, sc, self._dev)
 
     def sub(self, a: Ciphertext, b) -> Ciphertext:
         if isinstance(b, Ciphertext):
-            if self.jit_ops:
-                return self._jit_sub_ct(a, b)
-            a, b = self._align_add(a, b)
-            p = self._pc(self._active_idx(a.level)).p[None]
-            return a.with_data(sub_mod(a.data, b.data, p))
+            f = self._jit_sub_ct if self.jit_ops else self._sub_ct_impl
+            return f(a, b, self._dev)
         if isinstance(b, Plaintext):
-            return self._jit_sub_pt(a, b) if self.jit_ops else self._sub_pt(a, b)
+            f = self._jit_sub_pt if self.jit_ops else self._sub_pt
+            return f(a, b, self._dev)
         return self.add(a, -float(b))
 
     def rsub(self, b, a: Ciphertext) -> Ciphertext:
-        """scalar/pt minus ciphertext."""
+        """scalar/plaintext minus ciphertext."""
         return self.add(self.negate(a), b)
 
-    def _negate_impl(self, a: Ciphertext) -> Ciphertext:
-        p = self._pc(self._active_idx(a.level)).p[None]
-        return a.with_data(neg_mod(a.data, p))
-
     def negate(self, a: Ciphertext) -> Ciphertext:
-        return self._jit_negate(a) if self.jit_ops else self._negate_impl(a)
+        f = self._jit_negate if self.jit_ops else self._negate_impl
+        return f(a, self._dev)
 
-    # -- level / scale adjustment ----------------------------------------
+    # -- level / scale adjustment -----------------------------------------
 
     def level_reduce(self, a: Ciphertext, target_level: int) -> Ciphertext:
-        """Drop limbs without rescaling (OpenFHE LevelReduce)."""
         assert target_level >= a.level
         Lt = self.ctx.limbs_at(target_level)
         return Ciphertext(a.data[:, :Lt], target_level, a.sdeg, a.slots)
 
-    def adjust_level(self, a: Ciphertext, target_level: int) -> Ciphertext:
-        """Raise a to target_level keeping the canonical scale invariant.
-
-        sdeg-1 path: multiply by 1 encoded at scale s_tgt*q_l/s_l, rescale,
-        then drop limbs - lands exactly on s_tgt (FLEXIBLEAUTO adjustment).
-        """
+    def _adjust_level_impl(self, a: Ciphertext, target_level: int,
+                           dev: DevState) -> Ciphertext:
         if a.level == target_level:
             return a
         if a.sdeg == 2:
-            a = self.rescale(a)
+            a = self._rescale_impl(a, dev)
             if a.level == target_level:
                 return a
             if a.level > target_level:
                 raise ValueError("cannot adjust downwards")
         ctx = self.ctx
         la = a.level
-        t = float(
-            ctx.scale_dec(target_level)
-            * ctx.drop_prime(la)
-            / ctx.scale_dec(la)
-        )
-        sc = jnp.asarray(self._scalar_limbs(1.0, la, t))
-        p = self._pc(self._active_idx(la)).p[None]
-        a = a.with_data(barrett_limbs_scalar(a.data, sc, self._pc(self._active_idx(la))))
-        a = Ciphertext(a.data, la, 2, a.slots)   # off-canonical; fixed below
-        a = self._rescale_data(a)                # true scale now s_target
+        t = float(ctx.scale_dec(target_level) * ctx.drop_prime(la)
+                  / ctx.scale_dec(la))
+        sc = self._scalar_limbs(1.0, la, t)
+        _, pc = self._active(dev, la)
+        a = a.with_data(_mul_scalar_limbs(a.data, sc, pc))
+        a = Ciphertext(a.data, la, 2, a.slots)
+        a = self._rescale_data(a, dev)
         a = Ciphertext(a.data, a.level, 1, a.slots)
         return self.level_reduce(a, target_level)
 
-    def _to_sdeg2(self, a: Ciphertext) -> Ciphertext:
-        """Multiply by integer round(s_l) so scale becomes s_l^2."""
-        scale = self.ctx.scale(a.level, 1)
-        sc = jnp.asarray(self._scalar_limbs(1.0, a.level, scale))
-        pc = self._pc(self._active_idx(a.level))
-        return Ciphertext(
-            barrett_limbs_scalar(a.data, sc, pc), a.level, 2, a.slots
-        )
+    def adjust_level(self, a: Ciphertext, target_level: int) -> Ciphertext:
+        return self._adjust_level_impl(a, target_level, self._dev)
 
-    # -- rescale ----------------------------------------------------------
+    def _to_sdeg2(self, a: Ciphertext, dev: DevState | None = None) -> Ciphertext:
+        dev = dev or self._dev
+        sc = self._scalar_limbs(1.0, a.level, self.ctx.scale(a.level, 1))
+        _, pc = self._active(dev, a.level)
+        return Ciphertext(_mul_scalar_limbs(a.data, sc, pc), a.level, 2, a.slots)
 
-    def _rescale_data(self, a: Ciphertext) -> Ciphertext:
-        """Divide by the level's dropped prime with exact rounding."""
+    def align_group(self, cts):
+        """Common (level, sdeg) for a group (for batch-axis stacking)."""
+        lvl = max(c.level for c in cts)
+        out = [self.adjust_level(c, lvl) if c.level < lvl else c for c in cts]
+        lvl = max(c.level for c in out)
+        out = [self.adjust_level(c, lvl) if c.level < lvl else c for c in out]
+        if len({c.sdeg for c in out}) > 1:
+            out = [self._to_sdeg2(c) if c.sdeg == 1 else c for c in out]
+        return out
+
+    # -- rescale -----------------------------------------------------------
+
+    def _rescale_data(self, a: Ciphertext, dev: DevState) -> Ciphertext:
         ctx = self.ctx
         lvl = a.level
         if lvl >= ctx.params.mult_depth:
@@ -261,16 +293,13 @@ class Evaluator:
                 f"{ctx.params.mult_depth}); deepen parameters or bootstrap"
             )
         Ll = ctx.limbs_at(lvl)
-        plan = ctx.rescale_plans[lvl]
-        last_idx = (Ll - 1,)
-        rest_idx = tuple(range(Ll - 1))
-        t_last = self._tables(last_idx)
-        t_rest = self._tables(rest_idx)
-        pc_rest = self._pc(rest_idx)
+        plan = dev.rescale_plans[lvl]
+        t_last = _tab_slice(dev.tables, Ll - 1, Ll)
+        t_rest = _tab_slice(dev.tables, 0, Ll - 1)
+        pc_rest = _pc_slice(dev.pc, 0, Ll - 1)
 
         last_coeff = nttm.intt(a.data[:, Ll - 1 :, :], t_last)  # [2,1,n]
-        x = last_coeff  # canonical residues of q_last
-        # centered residue mod each remaining prime
+        x = last_coeff
         xm = reduce_u32(x, pc_rest.p[None], pc_rest.p_inv32[None])
         t = jnp.where(
             x >= plan.qlast_half,
@@ -279,259 +308,240 @@ class Evaluator:
         )
         t_eval = nttm.ntt(t, t_rest)
         num = sub_mod(a.data[:, : Ll - 1, :], t_eval, pc_rest.p[None])
-        out = shoup_mulmod(
-            num, plan.qlast_inv[None], plan.qlast_inv_shoup[None], pc_rest.p[None]
-        )
+        out = shoup_mulmod(num, plan.qlast_inv[None], plan.qlast_inv_shoup[None],
+                           pc_rest.p[None])
         return Ciphertext(out, lvl + 1, a.sdeg, a.slots)
 
-    def rescale(self, a: Ciphertext) -> Ciphertext:
+    def _rescale_impl(self, a: Ciphertext, dev: DevState) -> Ciphertext:
         assert a.sdeg == 2, "rescale only from scale degree 2"
-        out = self._rescale_data(a)
+        out = self._rescale_data(a, dev)
         return Ciphertext(out.data, out.level, 1, out.slots)
 
-    # -- multiplication ---------------------------------------------------
+    def _rescale_full(self, a: Ciphertext, dev: DevState) -> Ciphertext:
+        return self._rescale_impl(a, dev)
 
-    def _adjust_for_mult(self, a: Ciphertext):
+    def rescale(self, a: Ciphertext) -> Ciphertext:
+        f = self._jit_rescale if self.jit_ops else self._rescale_full
+        return f(a, self._dev)
+
+    # -- multiplication ----------------------------------------------------
+
+    def _adjust_for_mult(self, a: Ciphertext, dev: DevState):
         if a.sdeg == 2:
-            a = self.rescale(a)
+            a = self._rescale_impl(a, dev)
         return a
 
     def mult(self, a: Ciphertext, b) -> Ciphertext:
         if isinstance(b, Ciphertext):
-            return self._jit_mult_ct(a, b) if self.jit_ops else self._mult_ct(a, b)
+            f = self._jit_mult_ct if self.jit_ops else self._mult_ct_impl
+            return f(a, b, self.keys.relin, self._dev)
         if isinstance(b, Plaintext):
-            return (
-                self._jit_mult_plain(a, b)
-                if self.jit_ops
-                else self._mult_plain_adj(a, b)
-            )
-        if self.jit_ops:
-            return self._jit_mult_scalar(a, float(b))
-        return self._mult_scalar(a, float(b))
+            if a.sdeg == 2:
+                a = self.rescale(a)
+            f = self._jit_mult_pt if self.jit_ops else self._mult_plain_impl
+            return f(a, b, self._dev)
+        if True:
+            # scalar: pre-rescale on the host side so the residues match
+            if a.sdeg == 2:
+                a = self.rescale(a)
+            sc = self._scalar_limbs(float(b), a.level,
+                                    self.ctx.scale(a.level, 1))
+            f = self._jit_mult_sc if self.jit_ops else self._mult_scalar_impl
+            return f(a, sc, self._dev)
 
-    def _mult_plain_adj(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
-        return self._mult_plain(a, pt)
+    def _mult_scalar_impl(self, a: Ciphertext, sc, dev) -> Ciphertext:
+        _, pc = self._active(dev, a.level)
+        return Ciphertext(_mul_scalar_limbs(a.data, sc, pc), a.level, 2, a.slots)
 
-    def _mult_scalar(self, a: Ciphertext, c: float) -> Ciphertext:
-        a = self._adjust_for_mult(a)
-        scale = self.ctx.scale(a.level, 1)
-        sc = jnp.asarray(self._scalar_limbs(c, a.level, scale))
-        pc = self._pc(self._active_idx(a.level))
-        return Ciphertext(
-            barrett_limbs_scalar(a.data, sc, pc), a.level, 2, a.slots
-        )
-
-    def _mult_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
-        a = self._adjust_for_mult(a)
+    def _mult_plain_impl(self, a: Ciphertext, pt: Plaintext, dev) -> Ciphertext:
         assert pt.level == a.level and pt.sdeg == 1, (
             f"plaintext at level {pt.level}/deg {pt.sdeg}, ct at {a.level}"
         )
-        pc = self._pc(self._active_idx(a.level))
-        d = barrett_mulmod(
-            a.data, pt.data[None], pc.p[None], pc.r2_32[None],
-            pc.r2_32_shoup[None], pc.p_inv32[None],
-        )
+        _, pc = self._active(dev, a.level)
+        d = barrett_mulmod(a.data, pt.data[None], pc.p[None], pc.r2_32[None],
+                           pc.r2_32_shoup[None], pc.p_inv32[None])
         return Ciphertext(d, a.level, 2, a.slots)
 
     def mult_plain_at(self, a: Ciphertext, values) -> Ciphertext:
-        """Convenience: encode `values` at a's level and multiply."""
+        """Encode `values` at a's (post-rescale) level and multiply."""
         if a.sdeg == 2:
-            a = self._jit_rescale(a) if self.jit_ops else self.rescale(a)
+            a = self.rescale(a)
         pt = self.make_plaintext(values, a.level, 1, slots=a.slots)
         return self.mult(a, pt)
 
-    def _mult_ct(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        a = self._adjust_for_mult(a)
-        b = self._adjust_for_mult(b)
+    def _mult_ct_impl(self, a, b, relin: KeySwitchKey, dev) -> Ciphertext:
+        a = self._adjust_for_mult(a, dev)
+        b = self._adjust_for_mult(b, dev)
         if a.level < b.level:
-            a = self.adjust_level(a, b.level)
+            a = self._adjust_level_impl(a, b.level, dev)
         elif b.level < a.level:
-            b = self.adjust_level(b, a.level)
-        pc = self._pc(self._active_idx(a.level))
-        mm = functools.partial(
-            barrett_mulmod,
-            p=pc.p[None],
-            r2_32=pc.r2_32[None],
-            r2_32_shoup=pc.r2_32_shoup[None],
-            p_inv32=pc.p_inv32[None],
-        )
-        p = pc.p[None]
+            b = self._adjust_level_impl(b, a.level, dev)
+        _, pc = self._active(dev, a.level)
+        mm = lambda x, y: barrett_mulmod(
+            x, y, pc.p, pc.r2_32, pc.r2_32_shoup, pc.p_inv32)
         a0, a1 = a.data[0], a.data[1]
         b0, b1 = b.data[0], b.data[1]
-        d0 = mm(a0[None], b0[None])[0]
-        d1 = add_mod(mm(a0[None], b1[None])[0], mm(a1[None], b0[None])[0], p[0])
-        d2 = mm(a1[None], b1[None])[0]
-        e0, e1 = self._keyswitch_core(d2, a.level, self.keys.relin)
-        c0 = add_mod(d0, e0, p[0])
-        c1 = add_mod(d1, e1, p[0])
-        return Ciphertext(jnp.stack([c0, c1]), a.level, 2, a.slots)
-
-    def square(self, a: Ciphertext) -> Ciphertext:
-        return self._jit_square(a) if self.jit_ops else self._square_impl(a)
-
-    def _square_impl(self, a: Ciphertext) -> Ciphertext:
-        a = self._adjust_for_mult(a)
-        pc = self._pc(self._active_idx(a.level))
-        mm = functools.partial(
-            barrett_mulmod,
-            p=pc.p[None],
-            r2_32=pc.r2_32[None],
-            r2_32_shoup=pc.r2_32_shoup[None],
-            p_inv32=pc.p_inv32[None],
-        )
-        p = pc.p[None]
-        a0, a1 = a.data[0], a.data[1]
-        d0 = mm(a0[None], a0[None])[0]
-        cross = mm(a0[None], a1[None])[0]
-        d1 = add_mod(cross, cross, p[0])
-        d2 = mm(a1[None], a1[None])[0]
-        e0, e1 = self._keyswitch_core(d2, a.level, self.keys.relin)
+        d0 = mm(a0, b0)
+        d1 = add_mod(mm(a0, b1), mm(a1, b0), pc.p)
+        d2 = mm(a1, b1)
+        e0, e1 = self._keyswitch_core(d2, a.level, relin, dev)
         return Ciphertext(
-            jnp.stack([add_mod(d0, e0, p[0]), add_mod(d1, e1, p[0])]),
+            jnp.stack([add_mod(d0, e0, pc.p), add_mod(d1, e1, pc.p)]),
             a.level, 2, a.slots,
         )
 
-    # -- key switching ----------------------------------------------------
+    def _square_impl(self, a, relin: KeySwitchKey, dev) -> Ciphertext:
+        a = self._adjust_for_mult(a, dev)
+        _, pc = self._active(dev, a.level)
+        mm = lambda x, y: barrett_mulmod(
+            x, y, pc.p, pc.r2_32, pc.r2_32_shoup, pc.p_inv32)
+        a0, a1 = a.data[0], a.data[1]
+        d0 = mm(a0, a0)
+        cross = mm(a0, a1)
+        d1 = add_mod(cross, cross, pc.p)
+        d2 = mm(a1, a1)
+        e0, e1 = self._keyswitch_core(d2, a.level, relin, dev)
+        return Ciphertext(
+            jnp.stack([add_mod(d0, e0, pc.p), add_mod(d1, e1, pc.p)]),
+            a.level, 2, a.slots,
+        )
 
-    def _modup(self, d_limb: jnp.ndarray, level: int):
-        """Hybrid ModUp of a single poly [Ll, n] (eval) -> list of extended
-        digits [T, n] (eval) over the target basis Q_l + P."""
+    def square(self, a: Ciphertext) -> Ciphertext:
+        f = self._jit_square if self.jit_ops else self._square_impl
+        return f(a, self.keys.relin, self._dev)
+
+    # -- key switching -----------------------------------------------------
+
+    def _modup(self, d_limb: jnp.ndarray, level: int, dev: DevState):
+        """Hybrid ModUp: [Ll, n] eval -> per-digit extended [T, n] eval."""
         ctx = self.ctx
-        plan = ctx.ks_plans[level]
-        active = self._active_idx(level)
-        t_active = self._tables(active)
-        t_target = self._tables(plan.target_idx)
-        pc_t = self._pc(plan.target_idx)
-        d_coeff = nttm.intt(d_limb[None], t_active)[0]  # [Ll, n]
+        plan = dev.ks_plans[level]
+        t_active, _ = self._active(dev, level)
+        t_target, pc_t = self._target(dev, level)
+        d_coeff = nttm.intt(d_limb[None], t_active)[0]
         out = []
         for dp in plan.digits:
-            y = shoup_mulmod(
-                d_coeff[dp.limb_lo : dp.limb_hi],
-                dp.dhat_inv,
-                dp.dhat_inv_shoup,
-                self._pc(tuple(range(dp.limb_lo, dp.limb_hi))).p,
-            )  # [alpha, n]
-            T = len(plan.target_idx)
+            pc_d = _pc_slice(dev.pc, dp.limb_lo, dp.limb_hi)
+            y = shoup_mulmod(d_coeff[dp.limb_lo : dp.limb_hi], dp.dhat_inv,
+                             dp.dhat_inv_shoup, pc_d.p)
+            T = pc_t.p.shape[0]
             n = y.shape[-1]
             acc = jnp.zeros((T, n), dtype=jnp.uint32)
             for i in range(dp.limb_hi - dp.limb_lo):
-                term = shoup_mulmod(
-                    y[i][None], dp.ext_fac[i], dp.ext_fac_shoup[i], pc_t.p
-                )
+                term = shoup_mulmod(y[i][None], dp.ext_fac[i],
+                                    dp.ext_fac_shoup[i], pc_t.p)
                 acc = add_mod(acc, term, pc_t.p)
             out.append(nttm.ntt(acc[None], t_target)[0])
         return out
 
-    def _inner_product(self, digits, level: int, ksk: KeySwitchKey):
-        ctx = self.ctx
-        plan = ctx.ks_plans[level]
-        pc_t = self._pc(plan.target_idx)
-        tgt = list(plan.target_idx)
-        acc0 = None
-        acc1 = None
+    def _ksk_rows(self, ksk: KeySwitchKey, level: int):
+        """Slice KSK limbs to the target basis (active Q + specials)."""
+        Ll = self.ctx.limbs_at(level)
+        lo = self.ctx.num_q
+        hi = lo + self.ctx.num_sp
+        kb = jnp.concatenate([ksk.kb[:, :Ll], ksk.kb[:, lo:hi]], axis=1)
+        ka = jnp.concatenate([ksk.ka[:, :Ll], ksk.ka[:, lo:hi]], axis=1)
+        return kb, ka
+
+    def _inner_product(self, digits, level: int, ksk: KeySwitchKey,
+                       dev: DevState):
+        _, pc_t = self._target(dev, level)
+        kb, ka = self._ksk_rows(ksk, level)
+        acc0 = acc1 = None
         for j, ext in enumerate(digits):
-            kb = ksk.kb[j][jnp.asarray(tgt)]
-            ka = ksk.ka[j][jnp.asarray(tgt)]
-            t0 = barrett_mulmod(
-                ext, kb, pc_t.p, pc_t.r2_32, pc_t.r2_32_shoup, pc_t.p_inv32
-            )
-            t1 = barrett_mulmod(
-                ext, ka, pc_t.p, pc_t.r2_32, pc_t.r2_32_shoup, pc_t.p_inv32
-            )
+            t0 = barrett_mulmod(ext, kb[j], pc_t.p, pc_t.r2_32,
+                                pc_t.r2_32_shoup, pc_t.p_inv32)
+            t1 = barrett_mulmod(ext, ka[j], pc_t.p, pc_t.r2_32,
+                                pc_t.r2_32_shoup, pc_t.p_inv32)
             acc0 = t0 if acc0 is None else add_mod(acc0, t0, pc_t.p)
             acc1 = t1 if acc1 is None else add_mod(acc1, t1, pc_t.p)
         return acc0, acc1
 
-    def _moddown(self, c: jnp.ndarray, level: int) -> jnp.ndarray:
-        """[T, n] over Q_l + P  ->  [Ll, n] over Q_l (divide by P)."""
+    def _moddown(self, c: jnp.ndarray, level: int, dev: DevState) -> jnp.ndarray:
         ctx = self.ctx
-        plan = ctx.ks_plans[level]
+        plan = dev.ks_plans[level]
         Ll = ctx.limbs_at(level)
         K = ctx.num_sp
-        sp_idx = tuple(range(ctx.num_q, ctx.num_q + K))
-        active = self._active_idx(level)
+        t_active, pc_a = self._active(dev, level)
+        t_sp, pc_sp = self._special(dev)
         cq = c[:Ll]
         cp = c[Ll:]
-        cp_coeff = nttm.intt(cp[None], self._tables(sp_idx))[0]
-        y = shoup_mulmod(
-            cp_coeff, plan.phat_inv, plan.phat_inv_shoup, self._pc(sp_idx).p
-        )
-        pc_a = self._pc(active)
+        cp_coeff = nttm.intt(cp[None], t_sp)[0]
+        y = shoup_mulmod(cp_coeff, plan.phat_inv, plan.phat_inv_shoup, pc_sp.p)
         n = c.shape[-1]
         acc = jnp.zeros((Ll, n), dtype=jnp.uint32)
         for i in range(K):
-            term = shoup_mulmod(
-                y[i][None], plan.pext_fac[i], plan.pext_fac_shoup[i], pc_a.p
-            )
+            term = shoup_mulmod(y[i][None], plan.pext_fac[i],
+                                plan.pext_fac_shoup[i], pc_a.p)
             acc = add_mod(acc, term, pc_a.p)
-        ext_eval = nttm.ntt(acc[None], self._tables(active))[0]
+        ext_eval = nttm.ntt(acc[None], t_active)[0]
         num = sub_mod(cq, ext_eval, pc_a.p)
-        return shoup_mulmod(
-            num, plan.p_inv_mod_qi, plan.p_inv_mod_qi_shoup, pc_a.p
-        )
+        return shoup_mulmod(num, plan.p_inv_mod_qi, plan.p_inv_mod_qi_shoup,
+                            pc_a.p)
 
-    def _keyswitch_core(self, d_limb: jnp.ndarray, level: int,
-                        ksk: KeySwitchKey):
-        digits = self._modup(d_limb, level)
-        acc0, acc1 = self._inner_product(digits, level, ksk)
-        return self._moddown(acc0, level), self._moddown(acc1, level)
+    def _keyswitch_core(self, d_limb, level: int, ksk: KeySwitchKey,
+                        dev: DevState):
+        digits = self._modup(d_limb, level, dev)
+        acc0, acc1 = self._inner_product(digits, level, ksk, dev)
+        return self._moddown(acc0, level, dev), self._moddown(acc1, level, dev)
 
-    # -- rotations --------------------------------------------------------
+    # -- rotations ---------------------------------------------------------
+
+    def _automorphism_impl(self, a: Ciphertext, perm, ksk: KeySwitchKey,
+                           dev: DevState) -> Ciphertext:
+        d = a.data[:, :, perm]
+        e0, e1 = self._keyswitch_core(d[1], a.level, ksk, dev)
+        _, pc = self._active(dev, a.level)
+        c0 = add_mod(d[0], e0, pc.p)
+        return Ciphertext(jnp.stack([c0, e1]), a.level, a.sdeg, a.slots)
+
+    def _rot_args(self, g: int):
+        assert g in self.keys.rot, f"missing rotation key for galois {g}"
+        return self.ctx.galois_perm(g), self.keys.rot[g]
 
     def rotate(self, a: Ciphertext, r: int) -> Ciphertext:
         """Left slot-rotation by r (EvalRotate parity; negative = right)."""
         nh = self.ctx.params.ring_n // 2
         if r % nh == 0:
             return a
-        g = self.ctx.galois_element_rot(r)
-        return self._jit_rotate(a, g) if self.jit_ops else self._automorphism(a, g)
+        perm, ksk = self._rot_args(self.ctx.galois_element_rot(r))
+        f = self._jit_rot if self.jit_ops else self._automorphism_impl
+        return f(a, perm, ksk, self._dev)
 
     def conjugate(self, a: Ciphertext) -> Ciphertext:
-        g = 2 * self.ctx.params.ring_n - 1
-        return self._jit_rotate(a, g) if self.jit_ops else self._automorphism(a, g)
+        perm, ksk = self._rot_args(2 * self.ctx.params.ring_n - 1)
+        f = self._jit_rot if self.jit_ops else self._automorphism_impl
+        return f(a, perm, ksk, self._dev)
 
-    def _automorphism(self, a: Ciphertext, g: int) -> Ciphertext:
-        assert g in self.keys.rot, f"missing rotation key for galois {g}"
-        perm = self.ctx.galois_perm(g)
-        d = a.data[:, :, perm]
-        e0, e1 = self._keyswitch_core(d[1], a.level, self.keys.rot[g])
-        p = self._pc(self._active_idx(a.level)).p
-        c0 = add_mod(d[0], e0, p)
-        return Ciphertext(jnp.stack([c0, e1]), a.level, a.sdeg, a.slots)
+    def _rotate_precompute_impl(self, a: Ciphertext, dev: DevState):
+        return self._modup(a.data[1], a.level, dev)
 
     def rotate_precompute(self, a: Ciphertext):
-        """Hoisted decomposition of c1 (EvalFastRotationPrecompute parity)."""
-        if self.jit_ops:
-            return self._jit_rotate_pre(a)
-        return self._modup(a.data[1], a.level)
+        """Hoisted ModUp of c1 (EvalFastRotationPrecompute parity)."""
+        f = self._jit_rot_pre if self.jit_ops else self._rotate_precompute_impl
+        return f(a, self._dev)
+
+    def _rotate_hoisted_impl(self, a: Ciphertext, pre, perm,
+                             ksk: KeySwitchKey, dev: DevState) -> Ciphertext:
+        """sigma_g(ModUp(x)) = ModUp(sigma_g(x)) up to gadget-annihilated
+        extension noise, so the permutation applies to the extended digits."""
+        digits = [ext[:, perm] for ext in pre]
+        acc0, acc1 = self._inner_product(digits, a.level, ksk, dev)
+        e0 = self._moddown(acc0, a.level, dev)
+        e1 = self._moddown(acc1, a.level, dev)
+        _, pc = self._active(dev, a.level)
+        c0 = add_mod(a.data[0][:, perm], e0, pc.p)
+        return Ciphertext(jnp.stack([c0, e1]), a.level, a.sdeg, a.slots)
 
     def rotate_hoisted(self, a: Ciphertext, pre, r: int) -> Ciphertext:
-        if self.jit_ops:
-            return self._jit_rotate_hoisted(a, pre, r)
-        return self._rotate_hoisted_impl(a, pre, r)
-
-    def _rotate_hoisted_impl(self, a: Ciphertext, pre, r: int) -> Ciphertext:
-        """EvalFastRotation parity: reuse the hoisted ModUp across rotations.
-
-        sigma_g(ModUp(x)) = ModUp(sigma_g(x)) up to extension noise that the
-        gadget annihilates, so the permutation is applied to the extended
-        digits directly.
-        """
         nh = self.ctx.params.ring_n // 2
         if r % nh == 0:
             return a
-        g = self.ctx.galois_element_rot(r)
-        assert g in self.keys.rot, f"missing rotation key for galois {g}"
-        perm = self.ctx.galois_perm(g)
-        digits = [ext[:, perm] for ext in pre]
-        acc0, acc1 = self._inner_product(digits, a.level, self.keys.rot[g])
-        e0 = self._moddown(acc0, a.level)
-        e1 = self._moddown(acc1, a.level)
-        p = self._pc(self._active_idx(a.level)).p
-        c0 = add_mod(a.data[0][:, perm], e0, p)
-        return Ciphertext(jnp.stack([c0, e1]), a.level, a.sdeg, a.slots)
+        perm, ksk = self._rot_args(self.ctx.galois_element_rot(r))
+        f = self._jit_rot_hoist if self.jit_ops else self._rotate_hoisted_impl
+        return f(a, pre, perm, ksk, self._dev)
 
-    # -- misc -------------------------------------------------------------
+    # -- misc --------------------------------------------------------------
 
     def zeros_like(self, a: Ciphertext) -> Ciphertext:
         return a.with_data(jnp.zeros_like(a.data))
@@ -543,9 +553,7 @@ class Evaluator:
         return out
 
 
-def barrett_limbs_scalar(data, sc, pc):
+def _mul_scalar_limbs(data, sc, pc: PrimeConsts):
     """Multiply [k, L, n] data by per-limb scalars sc [L, 1]."""
-    return barrett_mulmod(
-        data, sc[None], pc.p[None], pc.r2_32[None], pc.r2_32_shoup[None],
-        pc.p_inv32[None],
-    )
+    return barrett_mulmod(data, sc[None], pc.p[None], pc.r2_32[None],
+                          pc.r2_32_shoup[None], pc.p_inv32[None])

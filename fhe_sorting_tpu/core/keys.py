@@ -49,6 +49,15 @@ class KeySwitchKey:
     ka: jnp.ndarray
 
 
+import jax.tree_util as _tree_util  # noqa: E402
+
+_tree_util.register_pytree_node(
+    KeySwitchKey,
+    lambda k: ((k.kb, k.ka), None),
+    lambda aux, ch: KeySwitchKey(*ch),
+)
+
+
 @dataclass
 class Keys:
     """Secret + public + evaluation keys.  The secret parts stay host-side;

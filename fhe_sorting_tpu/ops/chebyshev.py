@@ -1,0 +1,138 @@
+"""Chebyshev-basis polynomial evaluation on ciphertexts (Paterson-Stockmeyer).
+
+TPU-native equivalent of OpenFHE's `EvalChebyshevSeriesPS` /
+`EvalChebyshevFunction` surface, which the reference leans on for the sinc
+indicator (sort_algo.h:628,727) and the degree-27 g4 composite-sign factor
+(sign.cpp:76).  The PS plan (baby/giant steps, Chebyshev divmod tree) is
+computed host-side at trace time with numpy float64; only the resulting
+linear combinations and ~2*sqrt(d) ciphertext multiplies are traced.
+
+Coefficient convention: f(x) = sum_i c[i] * T_i(x) on [-1, 1] (plain
+numpy.polynomial.chebyshev convention, no half-c0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.cipher import Ciphertext
+from ..core.evaluator import Evaluator
+
+
+def _cheb_divmod_tn(c: np.ndarray, n: int):
+    """Divide sum c_i T_i by T_n: returns (q, r) with f = q*T_n + r.
+
+    Uses T_i = 2*T_n*T_{i-n} - T_{|i-2n|} for i > n and T_n*T_0 = T_n.
+    """
+    d = len(c) - 1
+    q = np.zeros(max(d - n + 1, 1), dtype=np.float64)
+    r = c.astype(np.float64).copy()
+    for i in range(d, n, -1):
+        ci = r[i]
+        if ci == 0.0:
+            continue
+        r[i] = 0.0
+        q[i - n] += 2.0 * ci
+        r[abs(i - 2 * n)] -= ci
+    # i == n term: c_n T_n = c_n * T_0 * T_n
+    q[0] += r[n]
+    r[n] = 0.0
+    return np.trim_zeros(q, "b") if q.any() else q[:1], r[: n]
+
+
+def _trim(c: np.ndarray) -> np.ndarray:
+    c = np.asarray(c, dtype=np.float64)
+    nz = np.nonzero(c)[0]
+    return c[: nz[-1] + 1] if len(nz) else c[:1]
+
+
+class ChebyshevPS:
+    """Reusable PS evaluator bound to an Evaluator."""
+
+    def __init__(self, ev: Evaluator):
+        self.ev = ev
+
+    def evaluate(self, x: Ciphertext, coeffs) -> Ciphertext:
+        ev = self.ev
+        c = _trim(np.asarray(coeffs, dtype=np.float64))
+        d = len(c) - 1
+        if d == 0:
+            raise ValueError("constant polynomial: nothing to evaluate")
+
+        # baby-step count: power of two near sqrt(d) (power of two keeps the
+        # giant-step ladder a pure doubling chain)
+        k = 1 << max(1, int(round(np.log2(max(d, 2) ** 0.5))))
+        babies = {1: x}
+        for i in range(2, k + 1):
+            if i % 2 == 0:
+                half = babies[i // 2]
+                # T_{2m} = 2 T_m^2 - 1
+                babies[i] = ev.sub(ev.mult(ev.square(half), 2.0), 1.0)
+            else:
+                a, b = babies[(i + 1) // 2], babies[i // 2]
+                # T_{m+n} = 2 T_m T_n - T_{m-n};  here m-n = 1
+                babies[i] = ev.sub(ev.mult(ev.mult(a, b), 2.0), x)
+
+        giants = {k: babies[k]}
+        g = k
+        while 2 * g <= d:
+            giants[2 * g] = ev.sub(ev.mult(ev.square(giants[g]), 2.0), 1.0)
+            g *= 2
+
+        def eval_rec(cc: np.ndarray) -> Ciphertext:
+            cc = _trim(cc)
+            deg = len(cc) - 1
+            if deg <= k:
+                return self._linear_combo(cc, babies)
+            gg = k
+            while 2 * gg <= deg:
+                gg *= 2
+            q, r = _cheb_divmod_tn(cc, gg)
+            qc = eval_rec(q)
+            out = ev.mult(qc, giants[gg])
+            rr = _trim(r)
+            if len(rr) > 1 or rr[0] != 0.0:
+                out = ev.add(out, eval_rec(r) if len(rr) > 1 else rr[0])
+            return out
+
+        return eval_rec(c)
+
+    def _linear_combo(self, cc: np.ndarray, babies) -> Ciphertext:
+        """sum_i c_i T_i(x) for deg <= k using precomputed baby steps."""
+        ev = self.ev
+        out = None
+        for i in range(1, len(cc)):
+            if cc[i] == 0.0:
+                continue
+            term = ev.mult(babies[i], float(cc[i]))
+            out = term if out is None else ev.add(out, term)
+        if out is None:
+            # only the constant term
+            raise ValueError("degenerate chebyshev segment")
+        if cc[0] != 0.0:
+            out = ev.add(out, float(cc[0]))
+        return out
+
+
+def chebyshev_fit(fn, degree: int) -> np.ndarray:
+    """Chebyshev interpolation of `fn` on [-1,1] at Chebyshev nodes via DCT
+    (EvalChebyshevCoefficients parity; O(d log d), handles degree ~13k)."""
+    n = degree + 1
+    # Chebyshev points of the first kind
+    theta = (np.arange(n) + 0.5) * np.pi / n
+    xs = np.cos(theta)
+    ys = np.asarray([fn(float(v)) for v in xs], dtype=np.float64)
+    # DCT-II based coefficients: c_k = (2/n) sum_j y_j cos(k theta_j)
+    # computed via FFT of the even extension.
+    ext = np.concatenate([ys, ys[::-1]])
+    ph = np.exp(-1j * np.pi * np.arange(2 * n) / (2 * n))
+    F = np.fft.fft(ext * 1.0)
+    ck = (F * ph).real[:n] / n
+    ck[0] *= 0.5
+    return ck
+
+
+def eval_chebyshev_function(ev: Evaluator, fn, x: Ciphertext,
+                            degree: int) -> Ciphertext:
+    """Fit-and-evaluate (EvalChebyshevFunction parity)."""
+    return ChebyshevPS(ev).evaluate(x, chebyshev_fit(fn, degree))

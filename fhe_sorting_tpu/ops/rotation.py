@@ -1,0 +1,204 @@
+"""Rotation-step decomposition and composed rotations over a limited key set.
+
+Parity with the reference's rotation engine (/root/reference/src/rotation.h):
+`Decomposer` splits an arbitrary rotation amount into keyed steps (greedy
+large-step peeling + NAF/balanced-NAF/binary over the available power-of-two
+steps, rotation.h:54-165), `RotationComposer.rotate` applies them
+(rotation.h:215-233), and `RotationTree`-style hoisting reuses one ModUp
+precompute across the first composed step (rotation.h:286,343-351).
+
+On TPU every applied step costs a key-switch (the dominant kernel), so the
+step count minimization matters exactly as it does for OpenFHE.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+from ..core.cipher import Ciphertext
+from ..core.evaluator import Evaluator
+
+
+class DecomposeAlgo(enum.Enum):
+    BINARY = "binary"
+    NAF = "naf"
+    BNAF = "bnaf"
+
+
+@dataclass
+class RotationStats:
+    """rotation.h:168-191 parity."""
+
+    rotations: int = 0
+    fast_rotations: int = 0
+    composed: int = 0
+    calls: dict = field(default_factory=dict)
+
+    def record(self, r: int):
+        self.calls[r] = self.calls.get(r, 0) + 1
+
+
+def naf_digits(x: int):
+    """Non-adjacent form of x as list of (power, sign)."""
+    out = []
+    k = 0
+    while x != 0:
+        if x & 1:
+            d = 2 - (x & 3)  # 1 or -1
+            out.append((k, d))
+            x -= d
+        x >>= 1
+        k += 1
+    return out
+
+
+class Decomposer:
+    """Split rotation amounts into available keyed steps."""
+
+    def __init__(self, steps, wrap: int, algo: DecomposeAlgo = DecomposeAlgo.NAF):
+        self.signed = set(int(s) for s in steps if s)
+        self.steps = sorted(set(abs(int(s)) for s in steps if s))
+        self.wrap = wrap
+        self.algo = algo
+        self._pows = [s for s in self.steps if s & (s - 1) == 0]
+
+    def decompose(self, r: int):
+        """Signed steps summing to r mod wrap, restricted to steps whose
+        (signed) rotation keys exist; falls back from NAF to all-positive
+        binary when a negative power has no key."""
+        parts = self._decompose_inner(r)
+        if all(p in self.signed for p in parts):
+            return parts
+        # all-positive greedy fallback on the canonical representative
+        rr = r % self.wrap
+        pos = sorted((s for s in self.signed if s > 0), reverse=True)
+        out = []
+        while rr:
+            s = next((s for s in pos if s <= rr), None)
+            if s is None:
+                raise ValueError(
+                    f"no keyed decomposition for rotation {r} "
+                    f"(available: {sorted(self.signed)})"
+                )
+            out.append(s)
+            rr -= s
+        return out
+
+    def _decompose_inner(self, r: int):
+        r = r % self.wrap
+        if r == 0:
+            return []
+        # minimal representative in (-wrap/2, wrap/2]
+        if r > self.wrap // 2:
+            r -= self.wrap
+        sign = 1 if r > 0 else -1
+        mag = abs(r)
+        out = []
+        # greedy large-step peeling with non-power steps (rotation.h:54-92)
+        for s in sorted(self.steps, reverse=True):
+            if s & (s - 1) == 0:
+                continue
+            while mag >= s:
+                out.append(sign * s)
+                mag -= s
+        # remaining magnitude over power-of-two keys
+        if mag and self._pows:
+            largest = self._pows[-1]
+            while mag >= 2 * largest or (mag > largest and mag & (mag - 1)):
+                out.append(sign * largest)
+                mag -= largest
+        if mag:
+            if self.algo == DecomposeAlgo.BINARY:
+                k = 0
+                while mag:
+                    if mag & 1:
+                        if (1 << k) not in self._pows:
+                            raise ValueError(
+                                f"no key for power step {1 << k} (r={r})"
+                            )
+                        out.append(sign * (1 << k))
+                    mag >>= 1
+                    k += 1
+            else:
+                for k, d in naf_digits(mag):
+                    if (1 << k) not in self._pows:
+                        raise ValueError(f"no key for power step {1 << k} (r={r})")
+                    out.append(sign * d * (1 << k))
+        return out
+
+
+class RotationComposer:
+    """rotation.h:193-238 parity: rotate with whatever keys exist."""
+
+    def __init__(self, ev: Evaluator, steps, wrap: int | None = None,
+                 algo: DecomposeAlgo = DecomposeAlgo.NAF):
+        self.ev = ev
+        nh = ev.ctx.params.ring_n // 2
+        self.wrap = wrap if wrap is not None else nh
+        self.steps = set()
+        for s in steps:
+            self.steps.add(int(s))
+        self.dec = Decomposer(steps, self.wrap, algo)
+        self.stats = RotationStats()
+
+    def _has_key(self, r: int) -> bool:
+        g = self.ev.ctx.galois_element_rot(r)
+        return g in self.ev.keys.rot
+
+    def rotate(self, ct: Ciphertext, r: int) -> Ciphertext:
+        self.stats.record(r)
+        r = r % self.wrap
+        if r == 0:
+            return ct
+        if self._has_key(r):
+            self.stats.rotations += 1
+            return self.ev.rotate(ct, r)
+        out = ct
+        parts = self.dec.decompose(r)
+        self.stats.composed += 1
+        for s in parts:
+            self.stats.rotations += 1
+            out = self.ev.rotate(out, s)
+        return out
+
+    def rotate_hoisted(self, ct: Ciphertext, pre, r: int) -> Ciphertext:
+        """Use a shared hoisted precompute for the first step; compose rest."""
+        r = r % self.wrap
+        if r == 0:
+            return ct
+        if self._has_key(r):
+            self.stats.fast_rotations += 1
+            return self.ev.rotate_hoisted(ct, pre, r)
+        parts = self.dec.decompose(r)
+        out = self.ev.rotate_hoisted(ct, pre, parts[0])
+        self.stats.fast_rotations += 1
+        for s in parts[1:]:
+            self.stats.rotations += 1
+            out = self.ev.rotate(out, s)
+        return out
+
+
+class RotationTree:
+    """Hoisting-and-caching rotator over a rotation range
+    (rotation.h:240-358 parity: per-node ciphertext cache + one hoisted
+    precompute amortized across all requested rotations)."""
+
+    def __init__(self, composer: RotationComposer):
+        self.comp = composer
+        self._cache = {}
+        self._pre = None
+        self._base = None
+
+    def build(self, ct: Ciphertext):
+        self._base = ct
+        self._pre = self.comp.ev.rotate_precompute(ct)
+        self._cache = {0: ct}
+
+    def rotate(self, r: int) -> Ciphertext:
+        r = r % self.comp.wrap
+        if r in self._cache:
+            return self._cache[r]
+        out = self.comp.rotate_hoisted(self._base, self._pre, r)
+        self._cache[r] = out
+        return out

@@ -1,0 +1,33 @@
+"""BitonicSort tests (reference sort_algo.h:1067-1161 path)."""
+
+import numpy as np
+import pytest
+
+from fhe_sorting_tpu.core.context import CkksParams, Context
+from fhe_sorting_tpu.core.evaluator import Evaluator
+from fhe_sorting_tpu.core.keys import Keys
+from fhe_sorting_tpu.models.bitonic import BitonicSort
+from fhe_sorting_tpu.ops.sign import CompositeSignConfig, SignConfig, SignFunc
+
+from .utils import vector_with_min_diff
+
+
+@pytest.fixture(scope="module")
+def env():
+    ctx = Context(CkksParams(ring_n=512, mult_depth=48))
+    keys = Keys.generate(ctx, seed=0)
+    keys.gen_rotation_keys(
+        sorted({1 << i for i in range(6)} | {-(1 << i) for i in range(6)})
+    )
+    return ctx, keys, Evaluator(ctx, keys)
+
+
+def test_bitonic_sort_n4(env):
+    ctx, keys, ev = env
+    N = 4
+    x = vector_with_min_diff(N, seed=2)
+    ct = keys.encrypt(x, slots=N)
+    srt = BitonicSort(ev, N, normalize=1.0)
+    cfg = SignConfig(CompositeSignConfig(3, 2, 2))
+    out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
+    assert np.abs(out - np.sort(x)).max() < 0.01

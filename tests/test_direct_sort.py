@@ -1,0 +1,91 @@
+"""DirectSort end-to-end and stagewise tests (DirectSortNTest parity).
+
+Mirrors /root/reference/tests/DirectSortNTest.cpp: ConstructRank against
+plaintext ranks, RotationIndexCheck on plaintext-encrypted rank inputs,
+the noise-robustness variant (rank +- 0.001), and the full sort with the
+maxError < 0.01 contract on min-gap-1/N inputs.
+"""
+
+import numpy as np
+import pytest
+
+from fhe_sorting_tpu.core.context import CkksParams, Context
+from fhe_sorting_tpu.core.evaluator import Evaluator
+from fhe_sorting_tpu.core.keys import Keys
+from fhe_sorting_tpu.models.direct_sort import (
+    DirectSort, rotation_indices_direct_sort,
+)
+from fhe_sorting_tpu.ops.sign import CompositeSignConfig, SignConfig, SignFunc
+
+from .utils import vector_with_min_diff
+
+RING = 512
+DEPTH = 34
+
+
+@pytest.fixture(scope="module")
+def env():
+    ctx = Context(CkksParams(ring_n=RING, mult_depth=DEPTH))
+    keys = Keys.generate(ctx, seed=0)
+    steps = set()
+    for N in (4, 8):
+        steps |= rotation_indices_direct_sort(N, RING)
+    # powers of two for composed fallbacks
+    steps |= {1 << i for i in range(8)}
+    keys.gen_rotation_keys(sorted(steps))
+    return ctx, keys, Evaluator(ctx, keys)
+
+
+def plain_rank(x):
+    return np.array([np.sum(v > x) for v in x], dtype=np.float64)
+
+
+@pytest.mark.parametrize("N", [4, 8])
+def test_construct_rank(env, N):
+    ctx, keys, ev = env
+    x = vector_with_min_diff(N, seed=1)
+    ct = keys.encrypt(x)
+    srt = DirectSort(ev, N)
+    cfg = SignConfig(CompositeSignConfig(3, 3, 2))
+    rank = srt.construct_rank(ct, SignFunc.CompositeSign, cfg)
+    got = keys.decrypt(rank)[:N]
+    np.testing.assert_allclose(got, plain_rank(x), atol=1e-2)
+
+
+@pytest.mark.parametrize("N", [4, 8])
+def test_rotation_index_check_plain_rank(env, N):
+    """Feed an encrypted *plaintext-computed* rank (DirectSortNTest.cpp:130-203)."""
+    ctx, keys, ev = env
+    x = vector_with_min_diff(N, seed=2)
+    ranks = plain_rank(x)
+    ct = keys.encrypt(x)
+    ct_rank = keys.encrypt(ranks)
+    srt = DirectSort(ev, N)
+    out = keys.decrypt(srt.rotation_index_check_n(ct_rank, ct))[:N]
+    np.testing.assert_allclose(out, np.sort(x), atol=5e-3)
+
+
+@pytest.mark.parametrize("N", [4, 8])
+def test_rotation_index_check_noisy_rank(env, N):
+    """Rank perturbed +-0.001 still sorts (DirectSortNTest.cpp:205-285)."""
+    ctx, keys, ev = env
+    x = vector_with_min_diff(N, seed=3)
+    rng = np.random.default_rng(4)
+    ranks = plain_rank(x) + rng.uniform(-1e-3, 1e-3, N)
+    ct = keys.encrypt(x)
+    ct_rank = keys.encrypt(ranks)
+    srt = DirectSort(ev, N)
+    out = keys.decrypt(srt.rotation_index_check_n(ct_rank, ct))[:N]
+    np.testing.assert_allclose(out, np.sort(x), atol=5e-3)
+
+
+@pytest.mark.parametrize("N", [4, 8])
+def test_full_sort(env, N):
+    ctx, keys, ev = env
+    x = vector_with_min_diff(N, seed=5)
+    ct = keys.encrypt(x)
+    srt = DirectSort(ev, N)
+    cfg = SignConfig(CompositeSignConfig(3, 3, 2))
+    out_ct = srt.sort(ct, SignFunc.CompositeSign, cfg)
+    out = keys.decrypt(out_ct)[:N]
+    assert np.abs(out - np.sort(x)).max() < 0.01  # the reference contract

@@ -1,0 +1,74 @@
+"""k-way sorting network tests (KWaySortTest / MaskingTest parity)."""
+
+import numpy as np
+import pytest
+
+from fhe_sorting_tpu.core.context import CkksParams, Context
+from fhe_sorting_tpu.core.evaluator import Evaluator
+from fhe_sorting_tpu.core.keys import Keys
+from fhe_sorting_tpu.models.kway import KWaySorter
+from fhe_sorting_tpu.models.kway.adapter import kway_decompose
+from fhe_sorting_tpu.models.kway.masking import (
+    gen_indices, gen_mask, get_rotate_distance, num_stages, sort_type,
+)
+from fhe_sorting_tpu.ops.sign import CompositeSignConfig, SignConfig, SignFunc
+
+from .utils import vector_with_min_diff
+
+RING = 512
+DEPTH = 52
+
+
+@pytest.fixture(scope="module")
+def env():
+    ctx = Context(CkksParams(ring_n=RING, mult_depth=DEPTH))
+    keys = Keys.generate(ctx, seed=0)
+    keys.gen_rotation_keys(
+        sorted({1 << i for i in range(8)} | {-(1 << i) for i in range(8)})
+    )
+    return ctx, keys, Evaluator(ctx, keys)
+
+
+def test_masking_pure_math():
+    """sortType/genIndices sanity (MaskingTest parity)."""
+    # k=2: stage schedule visits every (m, logDist) pair
+    for k, M in [(2, 3), (3, 2), (5, 1)]:
+        for stage in range(num_stages(k, M)):
+            m, log_dist, slope = sort_type(k, M, stage)
+            assert 0 <= m <= M
+            assert log_dist >= 0 or slope > 0
+            ind = gen_indices(k ** M, k, M, m, log_dist, slope)
+            assert ind.shape == (2, k ** M)
+            assert ind[0].max() <= k
+            # positions never exceed sorter size
+            assert np.all(ind[1] <= ind[0])
+    assert get_rotate_distance(2, 1, 0) == 2
+    assert kway_decompose(8) == (2, 3)
+    assert kway_decompose(9) == (3, 2)
+    assert kway_decompose(125) == (5, 3)
+
+
+def test_kway_k2_sort(env):
+    ctx, keys, ev = env
+    k, M = 2, 2
+    N = k ** M
+    x = vector_with_min_diff(N, seed=1)
+    ct = keys.encrypt(x, slots=N)
+    srt = KWaySorter(ev, k, M)
+    cfg = SignConfig(CompositeSignConfig(3, 2, 2))
+    out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
+    assert np.abs(out - np.sort(x)).max() < 0.01
+
+
+def test_kway_k3_sort(env):
+    ctx, keys, ev = env
+    k, M = 3, 1
+    N = k ** M
+    x = np.array([0.7, 0.2, 0.5])
+    padded = np.zeros(4)
+    padded[:N] = x
+    ct = keys.encrypt(padded, slots=4)
+    srt = KWaySorter(ev, k, M)
+    cfg = SignConfig(CompositeSignConfig(3, 2, 2))
+    out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
+    assert np.abs(out - np.sort(x)).max() < 0.01

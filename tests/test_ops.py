@@ -1,0 +1,113 @@
+"""Sign / comparison / Chebyshev-PS / rotation-composer layer tests.
+
+Mirrors the reference's SignTest / CompareTest / DecomposeTest / RotationTest
+strategy (SURVEY.md section 4) at insecure fast parameters.
+"""
+
+import numpy as np
+import pytest
+
+from fhe_sorting_tpu.core.context import CkksParams, Context
+from fhe_sorting_tpu.core.evaluator import Evaluator
+from fhe_sorting_tpu.core.keys import Keys
+from fhe_sorting_tpu.ops.chebyshev import ChebyshevPS, chebyshev_fit
+from fhe_sorting_tpu.ops.compare import Comparison
+from fhe_sorting_tpu.ops.rotation import (
+    Decomposer, DecomposeAlgo, RotationComposer,
+)
+from fhe_sorting_tpu.ops.sign import (
+    CompositeSignConfig, SignConfig, SignFunc, composite_sign, sign_adv,
+)
+
+
+@pytest.fixture(scope="module")
+def ctx16():
+    ctx = Context(CkksParams(ring_n=256, mult_depth=16))
+    keys = Keys.generate(ctx, seed=0)
+    keys.gen_rotation_keys([1, 2, 4, 8, 16])
+    return ctx, keys, Evaluator(ctx, keys)
+
+
+def test_chebyshev_fit_matches_numpy():
+    f = lambda x: np.sin(3 * x) + 0.5 * x * x
+    c = chebyshev_fit(f, 40)
+    xs = np.linspace(-1, 1, 101)
+    got = np.polynomial.chebyshev.chebval(xs, c)
+    np.testing.assert_allclose(got, f(xs), atol=1e-10)
+
+
+def test_chebyshev_ps_encrypted(ctx16):
+    ctx, keys, ev = ctx16
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, 64)
+    coeffs = chebyshev_fit(lambda v: np.tanh(3 * v), 59)
+    ct = keys.encrypt(x)
+    out = keys.decrypt(ChebyshevPS(ev).evaluate(ct, coeffs))
+    np.testing.assert_allclose(out, np.tanh(3 * x), atol=2e-3)
+
+
+def test_composite_sign3(ctx16):
+    ctx, keys, ev = ctx16
+    vals = np.array([0.9, -0.9, 0.3, -0.3, 0.05, -0.05, 0.5, -0.5] * 8)
+    ct = keys.encrypt(vals)
+    cfg = SignConfig(CompositeSignConfig(3, 2, 2))
+    out = keys.decrypt(composite_sign(ev, ct, cfg))
+    np.testing.assert_allclose(out, np.sign(vals), atol=0.02)
+
+
+def test_sign_adv(ctx16):
+    ctx, keys, ev = ctx16
+    vals = np.array([0.9, -0.9, 0.3, -0.3, 0.1, -0.1, 0.6, -0.6] * 8)
+    ct = keys.encrypt(vals)
+    out = keys.decrypt(sign_adv(ev, ct, dg=2, df=2))
+    np.testing.assert_allclose(out, (np.sign(vals) + 1) / 2, atol=0.02)
+
+
+def test_compare(ctx16):
+    ctx, keys, ev = ctx16
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0, 1, 64)
+    b = rng.uniform(0, 1, 64)
+    # keep gaps resolvable by the approximation
+    mask = np.abs(a - b) < 0.05
+    b[mask] = (a[mask] + 0.2) % 1.0
+    ca, cb = keys.encrypt(a), keys.encrypt(b)
+    comp = Comparison(ev)
+    cfg = SignConfig(CompositeSignConfig(3, 2, 2))
+    out = keys.decrypt(comp.compare(ca, cb, SignFunc.CompositeSign, cfg))
+    np.testing.assert_allclose(out, (a > b).astype(float), atol=0.02)
+
+
+def test_decomposer_pure_math():
+    dec = Decomposer([1, 2, 4, 8, 16, 6], wrap=64)
+    for r in range(-63, 64):
+        parts = dec.decompose(r)
+        assert sum(parts) % 64 == r % 64, (r, parts)
+    dec2 = Decomposer([1, 2, 4, 8, 16], wrap=64, algo=DecomposeAlgo.BINARY)
+    for r in range(64):
+        assert sum(dec2.decompose(r)) % 64 == r % 64
+
+
+def test_rotation_composer(ctx16):
+    ctx, keys, ev = ctx16
+    x = np.arange(64) / 64.0
+    ct = keys.encrypt(x)
+    rot = RotationComposer(ev, [1, 2, 4, 8, 16], wrap=64)
+    for r in [3, 5, 7, -3, 21, 63]:
+        got = keys.decrypt(rot.rotate(ct, r))
+        np.testing.assert_allclose(got, np.roll(x, -r), atol=2e-4, err_msg=f"r={r}")
+    assert rot.stats.composed > 0
+
+
+def test_rotation_tree_hoisted(ctx16):
+    from fhe_sorting_tpu.ops.rotation import RotationTree
+
+    ctx, keys, ev = ctx16
+    x = np.arange(64) / 64.0
+    ct = keys.encrypt(x)
+    rot = RotationComposer(ev, [1, 2, 4, 8, 16], wrap=64)
+    tree = RotationTree(rot)
+    tree.build(ct)
+    for r in [1, 2, 3, 5, 8]:
+        got = keys.decrypt(tree.rotate(r))
+        np.testing.assert_allclose(got, np.roll(x, -r), atol=2e-4, err_msg=f"r={r}")
