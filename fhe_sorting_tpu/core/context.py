@@ -59,6 +59,7 @@ class CkksParams:
     base_limbs: int = 2          # limbs reserved below the last rescale
     sigma: float = 3.2           # error std-dev
     ksk_shoup: bool = False      # store Shoup tables for KSK limbs (2x mem)
+    secret_hamming: int | None = None  # sparse ternary secret (bootstrapping)
 
     @property
     def num_q(self) -> int:      # limbs of a fresh ciphertext

@@ -50,7 +50,10 @@ def encode_coeffs(values, n: int, scale: float, slots: int | None = None):
     values: array of length `slots` (defaults to len(values)); must divide
     n/2.  The slot vector is tiled to full packing.
     """
-    values = np.asarray(values, dtype=np.float64)
+    values = np.asarray(values)
+    values = values.astype(
+        np.complex128 if np.iscomplexobj(values) else np.float64
+    )
     s = slots if slots is not None else len(values)
     assert len(values) == s and n // 2 % s == 0, (len(values), s, n)
     zz = np.tile(values, (n // 2) // s).astype(np.complex128)
@@ -63,7 +66,10 @@ def encode_coeffs(values, n: int, scale: float, slots: int | None = None):
     tw, itw = _twist(n)
     a = np.fft.fft(v) / n * itw
     coeffs = np.rint(a.real * scale)
-    assert np.abs(coeffs).max() < 2**62, "coefficient overflow at encode"
+    if np.abs(coeffs).max() >= 2**62:
+        # e.g. an index vector encoded at a squared scale: fall back to
+        # exact Python ints (float64 rounding here is ~2^-53 relative).
+        return np.array([int(c) for c in coeffs], dtype=object)
     return coeffs.astype(np.int64)
 
 
@@ -74,6 +80,27 @@ def decode_coeffs(coeffs_float, n: int, scale: float, slots: int):
     j, _ = _slot_index_tables(n)
     full = v[j] / scale
     return full[:slots]
+
+
+def embed_inverse(z, n: int) -> np.ndarray:
+    """Float canonical-embedding inverse: slot vector (n/2 complex, full
+    packing) -> real coefficient vector (n), no scaling/rounding."""
+    z = np.asarray(z, dtype=np.complex128)
+    assert len(z) == n // 2
+    j, jc = _slot_index_tables(n)
+    v = np.zeros(n, dtype=np.complex128)
+    v[j] = z
+    v[jc] = np.conj(z)
+    tw, itw = _twist(n)
+    return (np.fft.fft(v) / n * itw).real
+
+
+def embed_forward(a, n: int) -> np.ndarray:
+    """Float canonical embedding: real coefficients (n) -> slots (n/2)."""
+    tw, itw = _twist(n)
+    v = np.fft.ifft(np.asarray(a, dtype=np.complex128) * tw) * n
+    j, _ = _slot_index_tables(n)
+    return v[j]
 
 
 def coeffs_to_residues(coeffs: np.ndarray, prime_list) -> np.ndarray:
@@ -119,6 +146,10 @@ def _garner_digits(res: np.ndarray, prime_tuple) -> np.ndarray:
     """Mixed-radix digits v[i] (0 <= v_i < q_i) of the CRT value."""
     L, n = res.shape
     minv, pm, _ = _garner_tables(prime_tuple)
+    from . import native
+
+    if native.available():
+        return native.garner(res, prime_tuple, minv, pm)
     v = np.zeros((L, n), dtype=np.uint64)
     for i in range(L):
         qi = np.uint64(prime_tuple[i])

@@ -151,7 +151,7 @@ class Evaluator:
                        slots: int | None = None) -> Plaintext:
         """MakeCKKSPackedPlaintext parity (explicit level/slots args)."""
         ctx = self.ctx
-        values = np.asarray(values, dtype=np.float64)
+        values = np.asarray(values)
         s = slots if slots is not None else len(values)
         scale = ctx.scale(level, sdeg)
         coeffs = encode_coeffs(values, ctx.params.ring_n, scale, slots=s)

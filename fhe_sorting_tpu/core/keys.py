@@ -78,7 +78,14 @@ class Keys:
         rng = np.random.default_rng(seed)
         n = ctx.params.ring_n
         all_p = ctx.all_primes
-        s = rng.integers(-1, 2, size=n).astype(np.int64)   # uniform ternary
+        h = ctx.params.secret_hamming
+        if h is None:
+            s = rng.integers(-1, 2, size=n).astype(np.int64)  # uniform ternary
+        else:
+            # sparse ternary secret (bounds the q0*I term in bootstrapping)
+            s = np.zeros(n, dtype=np.int64)
+            pos = rng.choice(n, size=h, replace=False)
+            s[pos] = rng.choice([-1, 1], size=h)
         s_res = coeffs_to_residues(s, all_p)
         s_eval = _host_ntt_all(ctx, s_res, range(len(all_p)))
 
@@ -210,3 +217,21 @@ class Keys:
         if num_values is not None:
             out = out[:num_values]
         return out.real
+
+    def decrypt_complex(self, ct: Ciphertext,
+                        num_values: int | None = None) -> np.ndarray:
+        from .encoding import crt_to_float_centered, decode_coeffs
+
+        ctx = self.ctx
+        Ll = ct.num_limbs
+        qs = ctx.q_primes[:Ll]
+        data = np.asarray(ct.data, dtype=np.uint64)
+        m_eval = np.zeros((Ll, ctx.params.ring_n), dtype=np.uint64)
+        for i, p in enumerate(qs):
+            P64 = np.uint64(p)
+            m_eval[i] = (data[0, i] + data[1, i] * self.s_eval[i]) % P64
+        m_coeff = _host_intt_all(ctx, m_eval, range(Ll))
+        vals = crt_to_float_centered(m_coeff, qs)
+        scale = ctx.scale(ct.level, ct.sdeg)
+        out = decode_coeffs(vals, ctx.params.ring_n, scale, ct.slots)
+        return out[:num_values] if num_values is not None else out

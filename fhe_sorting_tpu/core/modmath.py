@@ -29,7 +29,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-_MASK16 = jnp.uint32(0xFFFF)
+# plain int so Pallas kernels don't capture a device constant
+_MASK16 = 0xFFFF
 
 
 def mulhi32(a, b):

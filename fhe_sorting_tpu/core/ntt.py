@@ -182,6 +182,10 @@ def intt(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
 
 def host_ntt(a: np.ndarray, psi_rev_l: np.ndarray, p: int) -> np.ndarray:
     """Forward NTT of one limb on the host.  a: [n] u64, canonical residues."""
+    from . import native
+
+    if native.available():
+        return native.ntt_batch(a[None], psi_rev_l, int(p))[0]
     n = a.shape[0]
     logn = n.bit_length() - 1
     x = a.astype(np.uint64).copy()
@@ -198,6 +202,10 @@ def host_ntt(a: np.ndarray, psi_rev_l: np.ndarray, p: int) -> np.ndarray:
 
 
 def host_intt(a: np.ndarray, ipsi_rev_l: np.ndarray, n_inv_l: int, p: int) -> np.ndarray:
+    from . import native
+
+    if native.available():
+        return native.intt_batch(a[None], ipsi_rev_l, int(n_inv_l), int(p))[0]
     n = a.shape[0]
     logn = n.bit_length() - 1
     x = a.astype(np.uint64).copy()

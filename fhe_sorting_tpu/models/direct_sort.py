@@ -31,7 +31,7 @@ from ..core.evaluator import Evaluator
 from ..ops.chebyshev import ChebyshevPS
 from ..ops.compare import Comparison
 from ..ops.rotation import RotationComposer
-from ..ops.sign import SignConfig, SignFunc
+from ..ops.sign import CompositeSignConfig, SignConfig, SignFunc
 from ..utils.sinc_coeffs import doubled_sinc_coefficients, sinc_coefficients
 from .base import SortBase
 
@@ -73,6 +73,25 @@ def rotation_indices_direct_sort(N: int, ring_n: int) -> set:
             idx.add(b * num_partition + i * np2)     # blind-rotation giants
     for i in range(1, int(math.log2(num_partition)) + 1):
         idx.add(num_slots >> i)
+    idx.discard(0)
+    return idx
+
+
+def rotation_indices_direct_sort_hybrid(N: int, ring_n: int) -> set:
+    """Key set for the hybrid placement (sumColumnsToTarget /
+    transposeColumnTarget binary paths + batch rotations)."""
+    idx = rotation_indices_direct_sort(N, ring_n)
+    size = min(N, 256)
+    step = size >> 1
+    while step:
+        idx.update({step, -step})
+        step >>= 1
+    step = size * (size - 1) // 2
+    for _ in range(int(math.log2(size))):
+        idx.update({step, -step})
+        step >>= 1
+    for b in range(1, max(1, N // 256)):
+        idx.add(b * 256)
     idx.discard(0)
     return idx
 
@@ -192,6 +211,8 @@ class DirectSort(SortBase):
         num_slots = N * num_partition
         np_ = min(_default_np(num_partition, N), num_partition)
 
+        if rank.sdeg == 2:
+            rank = ev.rescale(rank)  # keep index-vector encode within 2^62
         idx_pt = ev.make_plaintext(
             self._index_vector(), rank.level, rank.sdeg, slots=N
         )
@@ -224,6 +245,100 @@ class DirectSort(SortBase):
         for i in range(1, int(math.log2(num_partition)) + 1):
             out = ev.add(out, self.rot.rotate(out, num_slots >> i))
         return out.set_slots(N)
+
+    # -- hybrid variant (MEHP24-style placement; sort_algo.h:776-1064) -----
+
+    def _binary_path(self, index: int, size: int):
+        lg = int(math.log2(size))
+        return [(index >> (lg - 1 - i)) & 1 for i in range(lg)]
+
+    def sum_columns_to_target(self, c: Ciphertext, size: int, col: int,
+                              mask_output: bool) -> Ciphertext:
+        """sort_algo.h:825-861: log-fold columns into target column `col`
+        following its binary path."""
+        ev = self.ev
+        c = c.set_slots(size * size)
+        step = size >> 1
+        for bit in self._binary_path(col, size):
+            c = ev.add(c, self.rot.rotate(c, -step if bit else step))
+            step >>= 1
+        if mask_output:
+            m = np.zeros(size * size)
+            m[col :: size] = 1.0
+            c = ev.mult_plain_at(c, m)
+        return c
+
+    def transpose_column_target(self, c: Ciphertext, size: int, row: int,
+                                mask_output: bool) -> Ciphertext:
+        """sort_algo.h:863-891."""
+        ev = self.ev
+        c = c.set_slots(size * size)
+        step = size * (size - 1) // 2
+        for bit in self._binary_path(row, size):
+            c = ev.add(c, self.rot.rotate(c, -step if bit else step))
+            step >>= 1
+        if mask_output:
+            m = np.zeros(size * size)
+            m[size * row : size * (row + 1)] = 1.0
+            c = ev.mult_plain_at(c, m)
+        return c
+
+    def rotation_index_check_hybrid(self, rank: Ciphertext, ct: Ciphertext,
+                                    sign_func=SignFunc.CompositeSign
+                                    ) -> Ciphertext:
+        """sort_algo.h:893-1047: N x N-matrix placement via a sinc (N<256)
+        or sign-indicator (N>=256) of (i/N - rank/N)."""
+        ev, N = self.ev, self.N
+        max_array = 256
+        if N > max_array:
+            num_slots = self.max_batch
+            num_batch = N // max_array
+        else:
+            num_slots = N * N
+            num_batch = 1
+        assert num_slots <= self.max_batch
+        size = min(N, max_array)
+
+        if rank.sdeg == 2:
+            rank = ev.rescale(rank)
+        rank = rank.set_slots(num_slots)
+        r = ev.mult(rank, 1.0 / N)
+        inp = ct.set_slots(num_slots)
+
+        rots_rank = [self.rot.rotate(r, b * max_array) for b in range(num_batch)]
+        rots_inp = [self.rot.rotate(inp, b * max_array) for b in range(num_batch)]
+
+        from ..ops.compare import Comparison
+
+        masked = []
+        for b in range(num_batch):
+            sub_mask = np.zeros(num_slots)
+            for i in range(size):
+                sub_mask[i * size : (i + 1) * size] = (b * size + i) / N
+            sub_pt = ev.make_plaintext(sub_mask, r.level, r.sdeg,
+                                       slots=num_slots)
+            acc = None
+            for k in range(num_batch):
+                rm = ev.rsub(sub_pt, rots_rank[k])
+                if N < 256:
+                    rm = self.ps.evaluate(rm, sinc_coefficients(N))
+                else:
+                    dgi = 4 if N < 512 else 5
+                    cfg_i = SignConfig(CompositeSignConfig(3, dgi, 2))
+                    rm = Comparison(ev).indicator(rm, 0.5 / N, sign_func, cfg_i)
+                term = ev.mult(rots_inp[k], rm)
+                acc = term if acc is None else ev.add(acc, term)
+            acc = self.sum_columns_to_target(acc, N // num_batch, b, True)
+            masked.append(self.transpose_column_target(acc, N // num_batch, b, True))
+        return ev.add_many(masked)
+
+    def sort_hybrid(self, ct: Ciphertext,
+                    sign_func: SignFunc = SignFunc.CompositeSign,
+                    cfg: SignConfig | None = None) -> Ciphertext:
+        """sort_algo.h:1050-1064."""
+        cfg = cfg or SignConfig()
+        rank = self.construct_rank(ct, sign_func, cfg)
+        return self.rotation_index_check_hybrid(rank, ct, sign_func)
 
     # -- public API --------------------------------------------------------
 

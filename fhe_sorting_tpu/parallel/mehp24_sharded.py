@@ -70,10 +70,12 @@ class ShardedMehp24:
             return (r.data, (r.level, r.sdeg, r.slots),
                     c.data, (c.level, c.sdeg, c.slots))
 
-        # metadata is static: probe one part eagerly at trace definition time
-        # by building the traced function around the known metadata
-        probe_r = mat.replicate_row(example)
-        probe_c = mat.replicate_column(mat.transpose_row(example, True))
+        # metadata is static: learn it with eval_shape (abstract trace, no
+        # compute) - the returned Ciphertext pytrees carry level/sdeg/slots
+        probe_r = jax.eval_shape(mat.replicate_row, example)
+        probe_c = jax.eval_shape(
+            lambda c: mat.replicate_column(mat.transpose_row(c, True)), example
+        )
         metaR = (probe_r.level, probe_r.sdeg, probe_r.slots)
         metaC = (probe_c.level, probe_c.sdeg, probe_c.slots)
 
@@ -89,8 +91,11 @@ class ShardedMehp24:
             out = sign_adv(ev, ev.sub(ctR, ctC), dg_c, df_c)
             return out.data, (out.level, out.sdeg, out.slots)
 
-        # probe compare metadata
-        probe_cmp = sign_adv(ev, ev.sub(probe_r, probe_c), dg_c, df_c)
+        # probe compare metadata (abstract)
+        probe_cmp = jax.eval_shape(
+            lambda r, c: sign_adv(ev, ev.sub(r, c), dg_c, df_c),
+            probe_r, probe_c,
+        )
         metaCmp = (probe_cmp.level, probe_cmp.sdeg, probe_cmp.slots)
 
         # rank-fold per part
@@ -104,6 +109,28 @@ class ShardedMehp24:
                 shj = mat.replicate_row(shj)
                 s = ev.add(s, shj)
             return s
+
+        # abstract probes for the aligned rank and placement metadata
+        probe_s = jax.eval_shape(
+            lambda cv, ch: ev.align_group(
+                [rank_fn(cv.data, cv.data, False),
+                 rank_fn(cv.data, ch.data, True)]
+            )[0],
+            probe_cmp, probe_cmp,
+        )
+        metaS_pre = (probe_s.level, probe_s.sdeg, probe_s.slots)
+        pt_probe = ev.make_plaintext(
+            np.zeros(sub * sub), metaS_pre[0], metaS_pre[1], slots=sub * sub
+        )
+        probe_pl = jax.eval_shape(
+            lambda s, r: ev.mult(
+                comp.indicator_adv(ev.add(s, pt_probe), float(total),
+                                   dg_i, df_i),
+                r,
+            ),
+            probe_s, probe_r,
+        )
+        meta_pl_pre = (probe_pl.level, probe_pl.sdeg, probe_pl.slots)
 
         # placement per (j, k): indicator(s_k + mask_j) * replR_k
         def build_step():
@@ -151,14 +178,8 @@ class ShardedMehp24:
 
                     placed = jax.vmap(place_fn)(s_stack, dR)
                     # modular tree-sum over the k axis
-                    meta_pl = None
+                    meta_pl = meta_pl_pre
                     acc = None
-                    # probe metadata once (host): replicate of place_fn meta
-                    sk0 = as_ct(s_stack[0], metaS)
-                    rm0 = ev.add(sk0, pt)
-                    ind0 = comp.indicator_adv(rm0, float(total), dg_i, df_i)
-                    pl0 = ev.mult(ind0, as_ct(dR[0], metaR))
-                    meta_pl = (pl0.level, pl0.sdeg, pl0.slots)
                     for k in range(B):
                         c = as_ct(placed[k], meta_pl)
                         acc = c if acc is None else ev.add(acc, c)

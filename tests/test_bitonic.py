@@ -22,6 +22,19 @@ def env():
     return ctx, keys, Evaluator(ctx, keys)
 
 
+def test_bitonic_sort_n2(env):
+    """Single comparator stage: fast default coverage."""
+    ctx, keys, ev = env
+    N = 2
+    x = np.array([0.8, 0.3])
+    ct = keys.encrypt(x, slots=N)
+    srt = BitonicSort(ev, N, normalize=1.0)
+    cfg = SignConfig(CompositeSignConfig(3, 2, 2))
+    out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
+    assert np.abs(out - np.sort(x)).max() < 0.01
+
+
+@pytest.mark.slow
 def test_bitonic_sort_n4(env):
     ctx, keys, ev = env
     N = 4

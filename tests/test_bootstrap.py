@@ -1,0 +1,93 @@
+"""Bootstrapping tests: linear transform, ModRaise, end-to-end refresh.
+
+Reference parity: the k-way EvalUtilsTest checks bootstrap roundtrip
+precision (tests/k-way/EvalUtilsTest.cpp:132-190); here the bootstrap is our
+own (core/bootstrap.py) rather than OpenFHE's.
+"""
+
+import numpy as np
+import pytest
+
+from fhe_sorting_tpu.core.bootstrap import Bootstrapper
+from fhe_sorting_tpu.core.context import CkksParams, Context
+from fhe_sorting_tpu.core.evaluator import Evaluator
+from fhe_sorting_tpu.core.keys import Keys
+from fhe_sorting_tpu.ops.linear_transform import LinearTransform
+
+
+@pytest.fixture(scope="module")
+def env():
+    ctx = Context(CkksParams(ring_n=256, mult_depth=24, secret_hamming=64))
+    keys = Keys.generate(ctx, seed=0)
+    keys.gen_conj_key()
+    return ctx, keys, Evaluator(ctx, keys)
+
+
+def test_linear_transform(env):
+    ctx, keys, ev = env
+    nh = 128
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(nh, nh)) / nh + 1j * rng.normal(size=(nh, nh)) / nh
+    lt = LinearTransform(ev, M, nh)
+    keys.gen_rotation_keys(sorted(lt.required_rotations()))
+    z = rng.normal(size=nh) * 0.3
+    ct = keys.encrypt(z)
+    got = keys.decrypt_complex(lt.apply(ct), nh)
+    np.testing.assert_allclose(got, M @ z, atol=5e-4)
+
+
+def test_mod_raise(env):
+    """Raised ciphertext decrypts to the message modulo q0 multiples."""
+    ctx, keys, ev = env
+    bs = Bootstrapper.__new__(Bootstrapper)  # only _mod_raise needed
+    bs.ev = ev
+    bs.q0 = ctx.q_primes[0]
+    rng = np.random.default_rng(1)
+    z = rng.uniform(-0.4, 0.4, 128)
+    ct = keys.encrypt(z)
+    from fhe_sorting_tpu.core.cipher import Ciphertext
+
+    ct1 = Ciphertext(ct.data[:, :1, :], ct.level, 1, ct.slots)
+    raised = bs._mod_raise(ct1)
+    # decrypting the raised ct: coefficients are a + q0*I; slot values are
+    # z + (q0/scale)*embed(I), so comparing mod-q0-multiples requires the
+    # coefficient view
+    from fhe_sorting_tpu.core import ntt as nttm
+    from fhe_sorting_tpu.core.encoding import crt_to_float_centered
+
+    data = np.asarray(raised.data, dtype=np.uint64)
+    Ll = raised.num_limbs
+    m_eval = np.zeros((Ll, 256), dtype=np.uint64)
+    for i, p in enumerate(ctx.q_primes[:Ll]):
+        m_eval[i] = (data[0, i] + data[1, i] * keys.s_eval[i]) % np.uint64(p)
+    from fhe_sorting_tpu.core.keys import _host_intt_all
+
+    m_coeff = _host_intt_all(ctx, m_eval, range(Ll))
+    vals = crt_to_float_centered(m_coeff, ctx.q_primes[:Ll])
+    resid = np.remainder(vals + bs.q0 / 2, bs.q0) - bs.q0 / 2
+    # the q0-residues of the raised coefficients match the original message
+    from fhe_sorting_tpu.core.encoding import encode_coeffs
+
+    expect = encode_coeffs(z, 256, ctx.scale(ct.level, 1))
+    err = np.abs(resid - np.asarray(expect, dtype=np.float64))
+    assert np.median(err) < 50  # within CKKS noise of the bottom limb
+
+
+@pytest.mark.slow
+def test_bootstrap_end_to_end(env):
+    ctx, keys, ev = env
+    bs = Bootstrapper(ev, K=13.0, sin_degree=127)
+    steps = bs.required_rotations()
+    keys.gen_rotation_keys(sorted(steps))
+    rng = np.random.default_rng(2)
+    z = rng.uniform(-0.2, 0.2, 128)
+    ct = keys.encrypt(z)
+    # burn most of the depth so the refresh is meaningful
+    dead = ct
+    for _ in range(3):
+        dead = ev.square(dead)
+    ct_low = ev.level_reduce(ct, ctx.params.mult_depth - 1)
+    out = bs.bootstrap(ct_low)
+    got = keys.decrypt(out, 128)
+    assert out.level < ct_low.level
+    np.testing.assert_allclose(got, z, atol=2e-2)

@@ -14,7 +14,9 @@ from fhe_sorting_tpu.core.evaluator import Evaluator
 from fhe_sorting_tpu.core.keys import Keys
 from fhe_sorting_tpu.models.direct_sort import (
     DirectSort, rotation_indices_direct_sort,
+    rotation_indices_direct_sort_hybrid,
 )
+from fhe_sorting_tpu.ops.rotation import RotationComposer
 from fhe_sorting_tpu.ops.sign import CompositeSignConfig, SignConfig, SignFunc
 
 from .utils import vector_with_min_diff
@@ -30,8 +32,9 @@ def env():
     steps = set()
     for N in (4, 8):
         steps |= rotation_indices_direct_sort(N, RING)
+        steps |= rotation_indices_direct_sort_hybrid(N, RING)
     # powers of two for composed fallbacks
-    steps |= {1 << i for i in range(8)}
+    steps |= {1 << i for i in range(8)} | {-(1 << i) for i in range(8)}
     keys.gen_rotation_keys(sorted(steps))
     return ctx, keys, Evaluator(ctx, keys)
 
@@ -77,6 +80,21 @@ def test_rotation_index_check_noisy_rank(env, N):
     srt = DirectSort(ev, N)
     out = keys.decrypt(srt.rotation_index_check_n(ct_rank, ct))[:N]
     np.testing.assert_allclose(out, np.sort(x), atol=5e-3)
+
+
+@pytest.mark.parametrize("N", [4])
+def test_sort_hybrid(env, N):
+    """DirectSortHTest parity: MEHP24-style placement after rank build."""
+    ctx, keys, ev = env
+    x = vector_with_min_diff(N, seed=7)
+    ct = keys.encrypt(x, slots=N)
+    rot = RotationComposer(
+        ev, rotation_indices_direct_sort_hybrid(N, RING)
+    )
+    srt = DirectSort(ev, N, rot=rot)
+    cfg = SignConfig(CompositeSignConfig(3, 3, 2))
+    out = keys.decrypt(srt.sort_hybrid(ct, SignFunc.CompositeSign, cfg), N)
+    assert np.abs(out - np.sort(x)).max() < 0.01
 
 
 @pytest.mark.parametrize("N", [4, 8])

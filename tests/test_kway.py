@@ -16,7 +16,7 @@ from fhe_sorting_tpu.ops.sign import CompositeSignConfig, SignConfig, SignFunc
 from .utils import vector_with_min_diff
 
 RING = 512
-DEPTH = 52
+DEPTH = 36
 
 
 @pytest.fixture(scope="module")
@@ -48,6 +48,7 @@ def test_masking_pure_math():
     assert kway_decompose(125) == (5, 3)
 
 
+@pytest.mark.slow
 def test_kway_k2_sort(env):
     ctx, keys, ev = env
     k, M = 2, 2
@@ -55,7 +56,7 @@ def test_kway_k2_sort(env):
     x = vector_with_min_diff(N, seed=1)
     ct = keys.encrypt(x, slots=N)
     srt = KWaySorter(ev, k, M)
-    cfg = SignConfig(CompositeSignConfig(3, 2, 2))
+    cfg = SignConfig(CompositeSignConfig(3, 1, 1))
     out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
     assert np.abs(out - np.sort(x)).max() < 0.01
 
@@ -69,6 +70,6 @@ def test_kway_k3_sort(env):
     padded[:N] = x
     ct = keys.encrypt(padded, slots=4)
     srt = KWaySorter(ev, k, M)
-    cfg = SignConfig(CompositeSignConfig(3, 2, 2))
+    cfg = SignConfig(CompositeSignConfig(3, 1, 1))
     out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
     assert np.abs(out - np.sort(x)).max() < 0.01
