@@ -220,7 +220,10 @@ class DirectSort(SortBase):
         index_minus_rank = index_minus_rank.set_slots(num_slots)
         input2 = ct.set_slots(num_slots)
 
-        coeffs = doubled_sinc_coefficients(N)
+        # stretch the Chebyshev domain so rank noise (up to ~4 rank units)
+        # cannot push the argument outside [-1, 1] where T_deg explodes
+        stretch = 1.0 + 4.0 / N
+        coeffs = doubled_sinc_coefficients(N, stretch=stretch)
         out = None
         for b in range(num_batch):
             check = self._checking_vector_n(num_slots, b * num_partition)
@@ -229,7 +232,7 @@ class DirectSort(SortBase):
                 ev.make_plaintext(check, index_minus_rank.level,
                                   index_minus_rank.sdeg, slots=num_slots),
             )
-            rot_index = ev.mult(rot_index, 1.0 / N / 2.0)
+            rot_index = ev.mult(rot_index, 1.0 / (2.0 * N * stretch))
             rot_index = self.ps.evaluate(rot_index, coeffs)
             masked = ev.mult(rot_index, input2)
             pre = ev.rotate_precompute(masked)
@@ -301,8 +304,9 @@ class DirectSort(SortBase):
 
         if rank.sdeg == 2:
             rank = ev.rescale(rank)
+        stretch = 1.0 + 8.0 / N
         rank = rank.set_slots(num_slots)
-        r = ev.mult(rank, 1.0 / N)
+        r = ev.mult(rank, 1.0 / (N * stretch))
         inp = ct.set_slots(num_slots)
 
         rots_rank = [self.rot.rotate(r, b * max_array) for b in range(num_batch)]
@@ -314,18 +318,21 @@ class DirectSort(SortBase):
         for b in range(num_batch):
             sub_mask = np.zeros(num_slots)
             for i in range(size):
-                sub_mask[i * size : (i + 1) * size] = (b * size + i) / N
+                sub_mask[i * size : (i + 1) * size] = (
+                    (b * size + i) / (N * stretch)
+                )
             sub_pt = ev.make_plaintext(sub_mask, r.level, r.sdeg,
                                        slots=num_slots)
             acc = None
             for k in range(num_batch):
                 rm = ev.rsub(sub_pt, rots_rank[k])
                 if N < 256:
-                    rm = self.ps.evaluate(rm, sinc_coefficients(N))
+                    rm = self.ps.evaluate(rm, sinc_coefficients(N, stretch=stretch))
                 else:
                     dgi = 4 if N < 512 else 5
                     cfg_i = SignConfig(CompositeSignConfig(3, dgi, 2))
-                    rm = Comparison(ev).indicator(rm, 0.5 / N, sign_func, cfg_i)
+                    rm = Comparison(ev).indicator(rm, 0.5 / (N * stretch),
+                                                  sign_func, cfg_i)
                 term = ev.mult(rots_inp[k], rm)
                 acc = term if acc is None else ev.add(acc, term)
             acc = self.sum_columns_to_target(acc, N // num_batch, b, True)

@@ -98,99 +98,109 @@ class ShardedMehp24:
         )
         metaCmp = (probe_cmp.level, probe_cmp.sdeg, probe_cmp.slots)
 
-        # rank-fold per part
-        def rank_fn(cv_data, ch_data, has_ch):
+        # rank-fold per part (uniform: j=0 gets a zero Ch, which contributes
+        # nothing, so one vmapped program covers every part)
+        def rank_fn(cv_data, ch_data):
             cv = as_ct(cv_data, metaCmp)
             s = mat.sum_rows(cv)
-            if has_ch:
-                ch = as_ct(ch_data, metaCmp)
-                shj = mat.sum_columns(ch, True)
-                shj = mat.transpose_column(shj, True)
-                shj = mat.replicate_row(shj)
-                s = ev.add(s, shj)
-            return s
+            ch = as_ct(ch_data, metaCmp)
+            shj = mat.sum_columns(ch, True)
+            shj = mat.transpose_column(shj, True)
+            shj = mat.replicate_row(shj)
+            return ev.add(s, shj)
 
-        # abstract probes for the aligned rank and placement metadata
         probe_s = jax.eval_shape(
-            lambda cv, ch: ev.align_group(
-                [rank_fn(cv.data, cv.data, False),
-                 rank_fn(cv.data, ch.data, True)]
-            )[0],
-            probe_cmp, probe_cmp,
+            lambda cv, ch: rank_fn(cv.data, ch.data), probe_cmp, probe_cmp
         )
-        metaS_pre = (probe_s.level, probe_s.sdeg, probe_s.slots)
-        pt_probe = ev.make_plaintext(
-            np.zeros(sub * sub), metaS_pre[0], metaS_pre[1], slots=sub * sub
-        )
-        probe_pl = jax.eval_shape(
-            lambda s, r: ev.mult(
-                comp.indicator_adv(ev.add(s, pt_probe), float(total),
-                                   dg_i, df_i),
+        metaS = (probe_s.level, probe_s.sdeg, probe_s.slots)
+        # per-part placement masks, stacked as a traced input
+        subm_pts = [
+            ev.make_plaintext(
+                np.repeat(-(j * sub + np.arange(sub, dtype=np.float64))
+                          - 0.5, sub),
+                metaS[0], metaS[1], slots=sub * sub,
+            )
+            for j in range(B)
+        ]
+        subm_stack = jnp.stack([p.data for p in subm_pts])
+        from ..core.cipher import Plaintext
+
+        def place_fn(s_data, dR_data, subm_data):
+            sk = as_ct(s_data, metaS)
+            pt = Plaintext(subm_data, metaS[0], metaS[1], sub * sub)
+            rm = ev._add_pt(sk, pt, ev._dev)
+            ind = comp.indicator_adv(rm, float(total), dg_i, df_i)
+            return ev.mult(ind, as_ct(dR_data, metaR)).data
+
+        # placement metadata via a dedicated abstract probe
+        probe_pl2 = jax.eval_shape(
+            lambda s, r, m: ev.mult(
+                comp.indicator_adv(
+                    ev._add_pt(s, Plaintext(m, metaS[0], metaS[1], sub * sub),
+                               ev._dev),
+                    float(total), dg_i, df_i),
                 r,
             ),
             probe_s, probe_r,
+            jax.ShapeDtypeStruct(subm_stack.shape[1:], jnp.uint32),
         )
-        meta_pl_pre = (probe_pl.level, probe_pl.sdeg, probe_pl.slots)
+        meta_pl = (probe_pl2.level, probe_pl2.sdeg, probe_pl2.slots)
+        probe_out = jax.eval_shape(
+            lambda c: mat.transpose_column(mat.sum_columns(c, True), True),
+            probe_pl2,
+        )
+        self.out_meta = (probe_out.level, probe_out.sdeg, probe_out.slots)
 
-        # placement per (j, k): indicator(s_k + mask_j) * replR_k
-        def build_step():
-            def step(stacked):
-                # stacked: [B, 2, L, n]
-                dR = jax.vmap(lambda d: repl_fn(d)[0])(stacked)
-                dC = jax.vmap(lambda d: repl_fn(d)[2])(stacked)
+        # combo index arrays for the all-(j,k) placement phase
+        j2 = np.repeat(np.arange(B), B)
+        k2 = np.tile(np.arange(B), B)
 
-                cmp_data = jax.vmap(compare_fn)(dR[jidx], dC[kidx])[0]
+        def step(stacked):
+            # stacked: [B, 2, L, n]
+            dR = jax.vmap(lambda d: repl_fn(d)[0])(stacked)
+            dC = jax.vmap(lambda d: repl_fn(d)[2])(stacked)
 
-                # Cv/Ch accumulation with modular adds (loop over pairs;
-                # the pair count is O(B^2) static)
-                Cv = [None] * B
-                Ch = [None] * B
-                for p, (j, k) in enumerate(pairs):
-                    cj = as_ct(cmp_data[p], metaCmp)
-                    Cv[j] = cj if Cv[j] is None else ev.add(Cv[j], cj)
-                    if j != k:
-                        ckj = ev.rsub(1.0, cj)
-                        Ch[k] = ckj if Ch[k] is None else ev.add(Ch[k], ckj)
+            cmp_data = jax.vmap(lambda r, c: compare_fn(r, c)[0])(
+                dR[jidx], dC[kidx]
+            )
 
-                s = [
-                    rank_fn(Cv[j].data, Ch[j].data if Ch[j] is not None
-                            else Cv[j].data, Ch[j] is not None)
-                    for j in range(B)
-                ]
-                s = ev.align_group(s)
-                metaS = (s[0].level, s[0].sdeg, s[0].slots)
-                s_stack = jnp.stack([x.data for x in s])
+            # Cv/Ch accumulation with modular adds (O(B^2) tiny static ops)
+            Cv = [None] * B
+            Ch = [None] * B
+            for p, (j, k) in enumerate(pairs):
+                cj = as_ct(cmp_data[p], metaCmp)
+                Cv[j] = cj if Cv[j] is None else ev.add(Cv[j], cj)
+                if j != k:
+                    ckj = ev.rsub(1.0, cj)
+                    Ch[k] = ckj if Ch[k] is None else ev.add(Ch[k], ckj)
+            zero = jnp.zeros_like(cmp_data[0])
+            cv_stack = jnp.stack([c.data for c in Cv])
+            ch_stack = jnp.stack(
+                [Ch[j].data if Ch[j] is not None else zero for j in range(B)]
+            )
 
-                # phase C: subSorted[j] = sum_k indicator(s_k + m_j) * replR_k
-                out_parts = []
-                for j in range(B):
-                    subm = np.repeat(
-                        -(j * sub + np.arange(sub, dtype=np.float64)) - 0.5, sub
-                    )
-                    pt = ev.make_plaintext(subm, metaS[0], metaS[1],
-                                           slots=sub * sub)
+            # one vmapped rank fold for every part
+            s_stack = jax.vmap(lambda cv, ch: rank_fn(cv, ch).data)(
+                cv_stack, ch_stack
+            )
 
-                    def place_fn(s_data, dR_k):
-                        sk = as_ct(s_data, metaS)
-                        rm = ev.add(sk, pt)
-                        ind = comp.indicator_adv(rm, float(total), dg_i, df_i)
-                        return ev.mult(ind, as_ct(dR_k, metaR)).data
+            # phase C: all B^2 (j,k) combos in one vmapped program
+            placed = jax.vmap(place_fn)(s_stack[k2], dR[k2], subm_stack[j2])
+            accs = []
+            for j in range(B):
+                acc = None
+                for k in range(B):
+                    c = as_ct(placed[j * B + k], meta_pl)
+                    acc = c if acc is None else ev.add(acc, c)
+                accs.append(acc.data)
+            acc_stack = jnp.stack(accs)
 
-                    placed = jax.vmap(place_fn)(s_stack, dR)
-                    # modular tree-sum over the k axis
-                    meta_pl = meta_pl_pre
-                    acc = None
-                    for k in range(B):
-                        c = as_ct(placed[k], meta_pl)
-                        acc = c if acc is None else ev.add(acc, c)
-                    acc = mat.sum_columns(acc, True)
-                    acc = mat.transpose_column(acc, True)
-                    out_parts.append(acc.data)
-                return jnp.stack(out_parts)
-
-            return step
-
-        step = build_step()
+            out = jax.vmap(
+                lambda d: mat.transpose_column(
+                    mat.sum_columns(as_ct(d, meta_pl), True), True
+                ).data
+            )(acc_stack)
+            return out
         shard = batch_sharding(self.mesh)
         self._jitted = jax.jit(step, in_shardings=shard, out_shardings=shard)
         self._out_meta_probe = None
@@ -198,10 +208,8 @@ class ShardedMehp24:
 
     def __call__(self, parts):
         """parts: list of Ciphertexts (same metadata). Returns sorted parts."""
-        stacked = jnp.stack([p.data for p in parts])
         if self._jitted is None:
             self.build(parts[0])
+        stacked = jnp.stack([p.data for p in parts])
         out = self._jitted(stacked)
-        # output metadata: recompute via a tiny host probe is unnecessary -
-        # level equals the traced result; recover from a dry metadata pass
-        return out
+        return [Ciphertext(out[i], *self.out_meta) for i in range(self.B)]

@@ -55,10 +55,16 @@ def _np_scaled_sinc(xs: np.ndarray, N: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def sinc_coefficients(N: int, degree: int = FIT_DEGREE,
-                      tol: float = 1e-6) -> tuple:
-    """Even scaled-sinc series for Sinc<2N> (rotationIndexCheck2N path)."""
-    c = _vector_fit(lambda xs: _np_scaled_sinc(xs, 2 * N), degree)
+def sinc_coefficients(N: int, degree: int = FIT_DEGREE, tol: float = 1e-6,
+                      stretch: float = 1.0) -> tuple:
+    """Even scaled-sinc series for Sinc<2N> (rotationIndexCheck2N path).
+
+    `stretch` > 1 fits f(stretch * y) on y in [-1, 1]: the caller divides the
+    argument by `stretch` so that rank-approximation noise cannot push the
+    Chebyshev argument outside [-1, 1] (T_k explodes like cosh(k sqrt(2 eps))
+    beyond the interval - catastrophic at the ~400+ degrees larger N needs).
+    """
+    c = _vector_fit(lambda xs: _np_scaled_sinc(stretch * xs, 2 * N), degree)
     c[1::2] = 0.0                      # even function: odd terms are noise
     c[np.abs(c) < tol] = 0.0
     nz = np.nonzero(c)[0]
@@ -67,15 +73,18 @@ def sinc_coefficients(N: int, degree: int = FIT_DEGREE,
 
 @functools.lru_cache(maxsize=32)
 def doubled_sinc_coefficients(N: int, degree: int = FIT_DEGREE,
-                              tol: float = 1e-8) -> tuple:
+                              tol: float = 1e-8,
+                              stretch: float = 1.0) -> tuple:
     """Doubled-sinc series (rotationIndexCheckN path, sort_algo.h:725-728).
 
     Fits Sinc<2N>::doubled_sinc (generate_cheb_doubled_coeffs.cpp:16): the
     argument is (index - rank - check)/(2N), so the 2N factor makes every
     integer difference hit an exact sinc zero, peaking only at 0 and -N.
+    See `sinc_coefficients` for the `stretch` out-of-range guard.
     """
     c = _vector_fit(
-        lambda xs: _np_scaled_sinc(xs, 2 * N) + _np_scaled_sinc(xs + 0.5, 2 * N),
+        lambda xs: _np_scaled_sinc(stretch * xs, 2 * N)
+        + _np_scaled_sinc(stretch * xs + 0.5, 2 * N),
         degree,
     )
     c[np.abs(c) < tol] = 0.0

@@ -73,3 +73,34 @@ def test_kway_k3_sort(env):
     cfg = SignConfig(CompositeSignConfig(3, 1, 1))
     out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
     assert np.abs(out - np.sort(x)).max() < 0.01
+
+
+def test_kway_k5_sort(env):
+    """Single five-sorter stage (k=5, M=1)."""
+    ctx, keys, ev = env
+    k, M = 5, 1
+    N = k ** M
+    x = np.array([0.9, 0.1, 0.5, 0.7, 0.3])
+    padded = np.zeros(8)
+    padded[:N] = x
+    ct = keys.encrypt(padded, slots=8)
+    srt = KWaySorter(ev, k, M)
+    cfg = SignConfig(CompositeSignConfig(3, 1, 1))
+    out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
+    assert np.abs(out - np.sort(x)).max() < 0.01
+
+
+@pytest.mark.slow
+def test_kway_k5_m2_sort(env):
+    """k=5, M=2 (N=25): exercises the mixed 2345 sorter path."""
+    ctx, keys, ev = env
+    k, M = 5, 2
+    N = k ** M
+    x = vector_with_min_diff(N, seed=9)
+    padded = np.zeros(32)
+    padded[:N] = x
+    ct = keys.encrypt(padded, slots=32)
+    srt = KWaySorter(ev, k, M)
+    cfg = SignConfig(CompositeSignConfig(3, 2, 2))
+    out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
+    assert np.abs(out - np.sort(x)).max() < 0.01
