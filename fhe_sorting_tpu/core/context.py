@@ -60,6 +60,7 @@ class CkksParams:
     sigma: float = 3.2           # error std-dev
     ksk_shoup: bool = False      # store Shoup tables for KSK limbs (2x mem)
     secret_hamming: int | None = None  # sparse ternary secret (bootstrapping)
+    ntt_impl: str = "auto"       # "auto" | "butterfly" | "mxu" (four-step)
 
     @property
     def num_q(self) -> int:      # limbs of a fresh ciphertext
@@ -246,7 +247,24 @@ class Context:
             self.P *= p
 
         n = params.ring_n
-        self.tables = nttm.build_device_tables(tuple(self.all_primes), n)
+        import os
+
+        impl = os.environ.get("FHE_NTT", params.ntt_impl)
+        if impl == "auto":
+            # the MXU four-step path wins on TPU for rings big enough that
+            # the matmuls tile the systolic array; the butterfly remains the
+            # CPU/test default and the reference oracle
+            import jax
+
+            impl = ("mxu" if jax.default_backend() == "tpu" and n >= 4096
+                    else "butterfly")
+        self.ntt_impl = impl
+        if impl == "mxu":
+            from . import ntt_mxu
+
+            self.tables = ntt_mxu.build_fs_tables(tuple(self.all_primes), n)
+        else:
+            self.tables = nttm.build_device_tables(tuple(self.all_primes), n)
         self.pc = _prime_consts(self.all_primes)
         self._host_psi_rev, self._host_ipsi_rev, self._host_ninv = (
             nttm.build_host_tables(tuple(self.all_primes), n)

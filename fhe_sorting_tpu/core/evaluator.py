@@ -60,24 +60,13 @@ tree_util.register_pytree_node(
 )
 
 
-def _tab_slice(t: nttm.NttTables, lo: int, hi: int) -> nttm.NttTables:
-    return nttm.NttTables(
-        p=t.p[lo:hi], psi_rev=t.psi_rev[lo:hi],
-        psi_rev_shoup=t.psi_rev_shoup[lo:hi], ipsi_rev=t.ipsi_rev[lo:hi],
-        ipsi_rev_shoup=t.ipsi_rev_shoup[lo:hi], n_inv=t.n_inv[lo:hi],
-        n_inv_shoup=t.n_inv_shoup[lo:hi],
-    )
+def _tab_slice(t, lo: int, hi: int):
+    """Limb-range view of NTT tables (NttTables or FourStepTables)."""
+    return t.slice(lo, hi)
 
 
-def _tab_concat(a: nttm.NttTables, b: nttm.NttTables) -> nttm.NttTables:
-    cat = lambda x, y: jnp.concatenate([x, y], axis=0)
-    return nttm.NttTables(
-        p=cat(a.p, b.p), psi_rev=cat(a.psi_rev, b.psi_rev),
-        psi_rev_shoup=cat(a.psi_rev_shoup, b.psi_rev_shoup),
-        ipsi_rev=cat(a.ipsi_rev, b.ipsi_rev),
-        ipsi_rev_shoup=cat(a.ipsi_rev_shoup, b.ipsi_rev_shoup),
-        n_inv=cat(a.n_inv, b.n_inv), n_inv_shoup=cat(a.n_inv_shoup, b.n_inv_shoup),
-    )
+def _tab_concat(a, b):
+    return a.concat(b)
 
 
 def _pc_slice(pc: PrimeConsts, lo: int, hi: int) -> PrimeConsts:

@@ -62,6 +62,26 @@ class NttTables:
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
+    def slice(self, lo: int, hi: int) -> "NttTables":
+        return NttTables(
+            p=self.p[lo:hi], psi_rev=self.psi_rev[lo:hi],
+            psi_rev_shoup=self.psi_rev_shoup[lo:hi],
+            ipsi_rev=self.ipsi_rev[lo:hi],
+            ipsi_rev_shoup=self.ipsi_rev_shoup[lo:hi],
+            n_inv=self.n_inv[lo:hi], n_inv_shoup=self.n_inv_shoup[lo:hi],
+        )
+
+    def concat(self, o: "NttTables") -> "NttTables":
+        c = lambda x, y: jnp.concatenate([x, y], axis=0)
+        return NttTables(
+            p=c(self.p, o.p), psi_rev=c(self.psi_rev, o.psi_rev),
+            psi_rev_shoup=c(self.psi_rev_shoup, o.psi_rev_shoup),
+            ipsi_rev=c(self.ipsi_rev, o.ipsi_rev),
+            ipsi_rev_shoup=c(self.ipsi_rev_shoup, o.ipsi_rev_shoup),
+            n_inv=c(self.n_inv, o.n_inv),
+            n_inv_shoup=c(self.n_inv_shoup, o.n_inv_shoup),
+        )
+
 
 import jax.tree_util as _tree_util  # noqa: E402
 
@@ -131,8 +151,15 @@ def _limb_slice(tables: NttTables, limb_idx) -> NttTables:
     )
 
 
-def ntt(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
-    """Forward negacyclic NTT.  a: [..., L, n] coeff order -> bitrev eval."""
+def ntt(a: jnp.ndarray, t) -> jnp.ndarray:
+    """Forward negacyclic NTT.  a: [..., L, n] coeff order -> bitrev eval.
+
+    Dispatches on the table type: `NttTables` runs the butterfly path below;
+    `FourStepTables` runs the MXU matmul formulation (core/ntt_mxu.py)."""
+    if not isinstance(t, NttTables):
+        from .ntt_mxu import ntt_fs
+
+        return ntt_fs(a, t)
     *lead, L, n = a.shape
     logn = n.bit_length() - 1
     p = t.p.reshape((1,) * len(lead) + (L, 1, 1, 1))
@@ -151,8 +178,12 @@ def ntt(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
     return x.reshape(*lead, L, n)
 
 
-def intt(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
+def intt(a: jnp.ndarray, t) -> jnp.ndarray:
     """Inverse NTT.  a: [..., L, n] bitrev eval order -> coeff order."""
+    if not isinstance(t, NttTables):
+        from .ntt_mxu import intt_fs
+
+        return intt_fs(a, t)
     *lead, L, n = a.shape
     logn = n.bit_length() - 1
     x = a

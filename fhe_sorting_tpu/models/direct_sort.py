@@ -77,6 +77,37 @@ def rotation_indices_direct_sort(N: int, ring_n: int) -> set:
     return idx
 
 
+def _np_2n(num_partition: int) -> int:
+    """Baby-step count for the 2N variant (sort_algo.h:598-601): largest power
+    of two with np^2 <= num_partition/2."""
+    half = max(1, num_partition // 2)
+    np_ = 1 << (half.bit_length() - 1 >> 1)
+    if np_ * np_ > half:
+        np_ >>= 1
+    return max(1, np_)
+
+
+def rotation_indices_direct_sort_2n(N: int, ring_n: int) -> set:
+    """Key set for the sinc (non-doubled) rotationIndexCheck2N placement
+    (sort_algo.h:586-656), plus constructRank's needs."""
+    max_batch = ring_n // 2
+    idx = rotation_indices_direct_sort(N, ring_n)
+    num_partition = min(2 * N, max_batch // N)
+    num_batch = 2 * N // num_partition
+    num_slots = num_partition * N
+    np_ = _np_2n(num_partition)
+    group = num_slots // N // 2           # partitions of width 2N
+    for b in range(num_batch):
+        for i in range(np_):
+            idx.add(b * group + i)        # pre-rotations
+    for i in range(group // np_):
+        idx.add(i * np_)                  # giant steps
+    for i in range(1, int(math.log2(num_partition)) + 1):
+        idx.add(num_slots >> i)
+    idx.discard(0)
+    return idx
+
+
 def rotation_indices_direct_sort_hybrid(N: int, ring_n: int) -> set:
     """Key set for the hybrid placement (sumColumnsToTarget /
     transposeColumnTarget binary paths + batch rotations)."""
@@ -243,6 +274,72 @@ class DirectSort(SortBase):
             rotated = self._blind_rotation_opt_n(
                 masked_rots, num_slots, np_, b, num_partition
             )
+            out = rotated if out is None else ev.add(out, rotated)
+
+        for i in range(1, int(math.log2(num_partition)) + 1):
+            out = ev.add(out, self.rot.rotate(out, num_slots >> i))
+        return out.set_slots(N)
+
+    # -- 2N variant: plain-sinc placement (sort_algo.h:586-656) ------------
+
+    def _blind_rotation_opt_2n(self, masked, num_slots, np_):
+        """sort_algo.h:536-559: giant-step accumulation over 2N-wide
+        partitions."""
+        ev = self.ev
+        group = num_slots // self.N // 2
+        result = None
+        for i in range(group // np_):
+            tmp = None
+            for j in range(np_):
+                msk = self._mask_block(num_slots, np_ * i + j, 2 * self.N)
+                msk = np.roll(msk, -j)
+                term = ev.mult_plain_at(masked[j], msk)
+                tmp = term if tmp is None else ev.add(tmp, term)
+            tmp = self.rot.rotate(tmp, i * np_)
+            result = tmp if result is None else ev.add(result, tmp)
+        return result
+
+    def rotation_index_check_2n(self, rank: Ciphertext,
+                                ct: Ciphertext) -> Ciphertext:
+        """sort_algo.h:586-656: like rotation_index_check_n but each batch
+        carries [k | -N+k] checking pairs over 2N-wide partitions, so a plain
+        scaled sinc (no doubling) indicates the rotation amount."""
+        ev = self.ev
+        N = self.N
+        num_partition = min(2 * N, self.max_batch // N)
+        num_batch = 2 * N // num_partition
+        num_slots = num_partition * N
+        np_ = _np_2n(num_partition)
+        group = num_slots // N // 2
+
+        if rank.sdeg == 2:
+            rank = ev.rescale(rank)
+        idx_pt = ev.make_plaintext(
+            self._index_vector(), rank.level, rank.sdeg, slots=N
+        )
+        index_minus_rank = ev.rsub(idx_pt, rank).set_slots(num_slots)
+        input2 = ct.set_slots(num_slots)
+
+        stretch = 1.0 + 4.0 / N
+        coeffs = sinc_coefficients(N, stretch=stretch)
+        out = None
+        for b in range(num_batch):
+            check = self._checking_vector_2n(num_slots, b * group)
+            rot_index = ev.sub(
+                index_minus_rank,
+                ev.make_plaintext(check, index_minus_rank.level,
+                                  index_minus_rank.sdeg, slots=num_slots),
+            )
+            rot_index = ev.mult(rot_index, 1.0 / (2.0 * N * stretch))
+            rot_index = self.ps.evaluate(rot_index, coeffs)
+            masked = ev.mult(rot_index, input2)
+            pre = ev.rotate_precompute(masked)
+            masked_rots = [
+                self.rot.rotate_hoisted(masked, pre, b * group + i)
+                if b * group + i else masked
+                for i in range(np_)
+            ]
+            rotated = self._blind_rotation_opt_2n(masked_rots, num_slots, np_)
             out = rotated if out is None else ev.add(out, rotated)
 
         for i in range(1, int(math.log2(num_partition)) + 1):

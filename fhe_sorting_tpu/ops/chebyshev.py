@@ -82,6 +82,10 @@ class ChebyshevPS:
         def eval_rec(cc: np.ndarray) -> Ciphertext:
             cc = _trim(cc)
             deg = len(cc) - 1
+            if deg == 0:
+                # constant quotient: caller multiplies the giant-step T_g by
+                # the scalar instead of a ciphertext
+                return float(cc[0])
             if deg <= k:
                 return self._linear_combo(cc, babies)
             gg = k
@@ -89,7 +93,10 @@ class ChebyshevPS:
                 gg *= 2
             q, r = _cheb_divmod_tn(cc, gg)
             qc = eval_rec(q)
-            out = ev.mult(qc, giants[gg])
+            if isinstance(qc, float):
+                out = ev.mult(giants[gg], qc)
+            else:
+                out = ev.mult(qc, giants[gg])
             rr = _trim(r)
             if len(rr) > 1 or rr[0] != 0.0:
                 out = ev.add(out, eval_rec(r) if len(rr) > 1 else rr[0])

@@ -129,10 +129,36 @@ def sign_adv(ev: Evaluator, x: Ciphertext, dg: int, df: int) -> Ciphertext:
     return ev.add(y, 0.5)
 
 
+def signum_polycircuit_coeffs(degree: int = 1023):
+    """Chebyshev-node interpolation of sign(x) at degree 1023 - reproduces
+    the constant table in the reference (sign.cpp:189-608) to ~1e-6: that
+    table is an EvalChebyshevCoefficients fit, which at finite degree differs
+    from the analytic series c_{2j+1} = (4/pi)(-1)^j/(2j+1) in the 6th
+    decimal (node interpolation vs. L2 projection of a discontinuity)."""
+    import numpy as np
+
+    from .chebyshev import chebyshev_fit
+
+    c = chebyshev_fit(lambda v: -1.0 if v < 0 else (1.0 if v > 0 else 0.0),
+                      degree)
+    c[::2] = 0.0  # odd function: even terms are interpolation noise
+    return np.asarray(c)
+
+
+def signum_polycircuit(ev: Evaluator, x: Ciphertext,
+                       degree: int = 1023) -> Ciphertext:
+    """Degree-1023 Chebyshev signum (sign.cpp:189-608 parity).  The reference
+    evaluates a naive 512-entry T_i table; here the same series runs through
+    Paterson-Stockmeyer (~2 sqrt(d) ct-ct mults instead of d)."""
+    return ChebyshevPS(ev).evaluate(x, signum_polycircuit_coeffs(degree))
+
+
 def sign(ev: Evaluator, x: Ciphertext, func: SignFunc, cfg: SignConfig) -> Ciphertext:
     """Dispatcher (sign.cpp:635-651 parity)."""
     if func == SignFunc.CompositeSign:
         return composite_sign(ev, x, cfg)
+    if func == SignFunc.SignumPolycircuit:
+        return signum_polycircuit(ev, x)
     if func == SignFunc.NaiveDiscrete:
         from .chebyshev import eval_chebyshev_function
 

@@ -14,6 +14,7 @@ from fhe_sorting_tpu.core.evaluator import Evaluator
 from fhe_sorting_tpu.core.keys import Keys
 from fhe_sorting_tpu.models.direct_sort import (
     DirectSort, rotation_indices_direct_sort,
+    rotation_indices_direct_sort_2n,
     rotation_indices_direct_sort_hybrid,
 )
 from fhe_sorting_tpu.ops.rotation import RotationComposer
@@ -32,6 +33,7 @@ def env():
     steps = set()
     for N in (4, 8):
         steps |= rotation_indices_direct_sort(N, RING)
+        steps |= rotation_indices_direct_sort_2n(N, RING)
         steps |= rotation_indices_direct_sort_hybrid(N, RING)
     # powers of two for composed fallbacks
     steps |= {1 << i for i in range(8)} | {-(1 << i) for i in range(8)}
@@ -79,6 +81,22 @@ def test_rotation_index_check_noisy_rank(env, N):
     ct_rank = keys.encrypt(ranks)
     srt = DirectSort(ev, N)
     out = keys.decrypt(srt.rotation_index_check_n(ct_rank, ct))[:N]
+    np.testing.assert_allclose(out, np.sort(x), atol=5e-3)
+
+
+@pytest.mark.parametrize("N", [4, 8])
+def test_rotation_index_check_2n(env, N):
+    """2N-wide sinc placement variant (sort_algo.h:586-656 parity)."""
+    ctx, keys, ev = env
+    x = vector_with_min_diff(N, seed=6)
+    ranks = plain_rank(x)
+    ct = keys.encrypt(x)
+    ct_rank = keys.encrypt(ranks)
+    rot = RotationComposer(
+        ev, sorted(rotation_indices_direct_sort_2n(N, RING))
+    )
+    srt = DirectSort(ev, N, rot=rot)
+    out = keys.decrypt(srt.rotation_index_check_2n(ct_rank, ct))[:N]
     np.testing.assert_allclose(out, np.sort(x), atol=5e-3)
 
 

@@ -80,3 +80,70 @@ def test_modmath_random():
         jnp.uint32(p),
     )
     np.testing.assert_array_equal(np.asarray(got2), (a * b % p).astype(np.uint32))
+
+
+@pytest.mark.parametrize("n", [64, 256, 1024])
+def test_four_step_matches_butterfly(n):
+    """MXU four-step NTT (core/ntt_mxu.py) is bit-identical to the butterfly
+    path in both directions, including the folded bitrev ordering."""
+    from fhe_sorting_tpu.core import ntt_mxu
+
+    ps = primes.ntt_primes(n, 28, 3)
+    tabs = nttm.build_device_tables(ps, n)
+    fst = ntt_mxu.build_fs_tables(ps, n)
+    rng = np.random.default_rng(3)
+    a = np.stack([rng.integers(0, p, size=(2, n), dtype=np.uint64) for p in ps])
+    a = jnp.asarray(a.transpose(1, 0, 2).astype(np.uint32))  # [2, L, n]
+
+    f_ref = np.asarray(nttm.ntt(a, tabs))
+    f_fs = np.asarray(ntt_mxu.ntt_fs(a, fst))
+    np.testing.assert_array_equal(f_fs, f_ref)
+
+    r_ref = np.asarray(nttm.intt(jnp.asarray(f_ref), tabs))
+    r_fs = np.asarray(ntt_mxu.intt_fs(jnp.asarray(f_ref), fst))
+    np.testing.assert_array_equal(r_fs, r_ref)
+    np.testing.assert_array_equal(r_fs, np.asarray(a))
+
+
+def test_four_step_context_end_to_end():
+    """A full mult+rotate+decrypt chain under ntt_impl="mxu" matches the
+    butterfly context bit-exactly (same primes, same keys seed)."""
+    from fhe_sorting_tpu.core.context import CkksParams, Context
+    from fhe_sorting_tpu.core.evaluator import Evaluator
+    from fhe_sorting_tpu.core.keys import Keys
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-1, 1, 128)
+    outs = {}
+    for impl in ("butterfly", "mxu"):
+        ctx = Context(CkksParams(ring_n=256, mult_depth=6, ntt_impl=impl))
+        keys = Keys.generate(ctx, seed=0)
+        keys.gen_rotation_keys([1])
+        ev = Evaluator(ctx, keys)
+        ct = keys.encrypt(x, seed=0)
+        out = ev.rotate(ev.rescale(ev.mult(ct, ct)), 1)
+        outs[impl] = (np.asarray(out.data), keys.decrypt(out))
+    np.testing.assert_array_equal(outs["mxu"][0], outs["butterfly"][0])
+    np.testing.assert_allclose(outs["mxu"][1], np.roll(x * x, -1), atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [256, 1024])
+def test_four_step_pallas_interpret(n):
+    """Fused Pallas four-step kernel (interpret mode on CPU) is bit-identical
+    to the butterfly path in both directions."""
+    from fhe_sorting_tpu.core import ntt_mxu, pallas_fs_ntt
+
+    ps = primes.ntt_primes(n, 28, 2)
+    tabs = nttm.build_device_tables(ps, n)
+    fst = ntt_mxu.build_fs_tables(ps, n)
+    rng = np.random.default_rng(5)
+    a = np.stack([rng.integers(0, p, size=(2, n), dtype=np.uint64) for p in ps])
+    a = jnp.asarray(a.transpose(1, 0, 2).astype(np.uint32))
+
+    f_ref = np.asarray(nttm.ntt(a, tabs))
+    f_pl = np.asarray(pallas_fs_ntt.ntt_fs_pallas(a, fst, interpret=True))
+    np.testing.assert_array_equal(f_pl, f_ref)
+
+    r_pl = np.asarray(pallas_fs_ntt.intt_fs_pallas(jnp.asarray(f_ref), fst,
+                                                   interpret=True))
+    np.testing.assert_array_equal(r_pl, np.asarray(a))

@@ -17,6 +17,7 @@ from fhe_sorting_tpu.ops.rotation import (
 )
 from fhe_sorting_tpu.ops.sign import (
     CompositeSignConfig, SignConfig, SignFunc, composite_sign, sign_adv,
+    signum_polycircuit, signum_polycircuit_coeffs,
 )
 
 
@@ -61,6 +62,27 @@ def test_sign_adv(ctx16):
     ct = keys.encrypt(vals)
     out = keys.decrypt(sign_adv(ev, ct, dg=2, df=2))
     np.testing.assert_allclose(out, (np.sign(vals) + 1) / 2, atol=0.02)
+
+
+def test_signum_polycircuit(ctx16):
+    """Deg-1023 Chebyshev signum (sign.cpp:189-608 parity): the analytic
+    coefficients match the reference's constant table, and the encrypted
+    Paterson-Stockmeyer evaluation signs inputs away from the boundary."""
+    c = signum_polycircuit_coeffs()
+    # the reference's constant table is a Chebyshev-node fit; node-count
+    # conventions differ at ~1e-6, the function is the same
+    np.testing.assert_allclose(c[1], 1.273238551875655, rtol=2e-6)
+    np.testing.assert_allclose(c[3], -0.42441020299615195, rtol=2e-5)
+    assert c[::2].max() == 0.0 and len(c) == 1024
+
+    ctx = Context(CkksParams(ring_n=256, mult_depth=22))
+    keys = Keys.generate(ctx, seed=0)
+    ev = Evaluator(ctx, keys)
+    vals = np.array([0.9, -0.9, 0.3, -0.3, 0.1, -0.1, 0.6, -0.6] * 8)
+    ct = keys.encrypt(vals)
+    out = keys.decrypt(signum_polycircuit(ev, ct))
+    # truncated Fourier-Chebyshev series ringing limits accuracy to ~1/deg
+    np.testing.assert_allclose(out, np.sign(vals), atol=0.05)
 
 
 def test_compare(ctx16):
