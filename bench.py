@@ -27,7 +27,7 @@ BASELINE_S = {4: 89.34, 8: 249.99, 16: 472.66, 32: 911.74, 64: 1292.26,
               128: 2485.52, 256: 3846.34, 512: 4625.21, 1024: 5732.39}
 
 
-def run(n_arr: int, ring: int, depth: int, trials: int, dg: int, df: int):
+def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int, df: int):
     import os
 
     import jax
@@ -61,7 +61,7 @@ def run(n_arr: int, ring: int, depth: int, trials: int, dg: int, df: int):
     keys.gen_rotation_keys(sorted(steps))
     ev = Evaluator(ctx, keys)
     srt = DirectSort(ev, n_arr)
-    cfg = SignConfig(CompositeSignConfig(3, dg, df))
+    cfg = SignConfig(CompositeSignConfig(cn, dg, df))
     print(f"# setup {time.time()-t0:.1f}s (ring {ring}, depth {depth}, "
           f"Lq={ctx.num_q}, K={ctx.num_sp})", file=sys.stderr)
 
@@ -94,13 +94,38 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--ring", type=int, default=65536)
-    ap.add_argument("--depth", type=int, default=38)
+    ap.add_argument("--depth", type=int, default=None,
+                    help="mult depth; default: measured by the depth meter")
     ap.add_argument("--trials", type=int, default=1)
-    ap.add_argument("--dg", type=int, default=4)
-    ap.add_argument("--df", type=int, default=2)
+    ap.add_argument("--cn", type=int, default=None,
+                    help="CompositeSign variant (3 or 4); registry default")
+    ap.add_argument("--dg", type=int, default=None,
+                    help="sign g-iterations; default from the params registry")
+    ap.add_argument("--df", type=int, default=None)
     args = ap.parse_args()
 
-    best, err = run(args.n, args.ring, args.depth, args.trials, args.dg, args.df)
+    if args.cn is None or args.dg is None or args.df is None:
+        from fhe_sorting_tpu.utils.params_registry import direct_sort_sign_cfg
+
+        cn, dg, df = direct_sort_sign_cfg(args.n)
+        args.cn = args.cn if args.cn is not None else cn
+        args.dg = args.dg if args.dg is not None else dg
+        args.df = args.df if args.df is not None else df
+
+    if args.depth is None:
+        from fhe_sorting_tpu.ops.sign import CompositeSignConfig, SignConfig
+        from fhe_sorting_tpu.utils.depth_meter import measure_direct_sort_depth
+
+        m = measure_direct_sort_depth(
+            args.n, args.ring,
+            SignConfig(CompositeSignConfig(args.cn, args.dg, args.df))
+        )
+        args.depth = m["mult_depth"]
+        print(f"# depth meter: mult_depth {args.depth} "
+              f"({m['ct_mults_and_rotations'][0]} ct-mults)", file=sys.stderr)
+
+    best, err = run(args.n, args.ring, args.depth, args.trials,
+                    args.cn, args.dg, args.df)
     base = BASELINE_S.get(args.n)
     print(json.dumps({
         "metric": f"directsort_n{args.n}_ring{args.ring}_wall_clock",

@@ -7,20 +7,24 @@ implement it; here it is built from this framework's own primitives:
   * ModRaise: drop to a single bottom prime q0 ~ Delta, INTT, exact centered
     base-extension of each coefficient to the full chain, NTT.  The raised
     ciphertext encrypts a + q0*I with |I| <~ K (ternary secret).
-  * CoeffsToSlots: two BSGS linear transforms + a conjugation put the
-    polynomial coefficients (low/high halves) into slot space, pre-scaled
-    by 1/q0 so slot values live in [-K, K].
+  * CoeffsToSlots: the level-budget FFT-factored inverse embedding
+    (core/fft_factors.py).  Both real coefficient halves ride one complex
+    vector c~ = c_lo + i*c_hi (exact because zeta^{e_t*n/2} = i for every
+    slot root), so one factored transform chain of `level_budget[0]` sparse
+    BSGS stages + a conjugation recovers c_lo/q0 and c_hi/q0.  This is the
+    OpenFHE levelBudget {b,b} counterpart (kway_adapter.h:56-62): budget 1
+    degenerates to the single dense transform.
   * EvalMod: Chebyshev approximation of sin(2*pi*u)/(2*pi) on [-K, K]
     removes the q0*I multiples (messages must satisfy |m| <= msg_ratio/2
-    so the small-angle regime holds; EvalBootstrap callers scale down
-    accordingly, as OpenFHE's correction factor does).
-  * SlotsToCoeffs: the forward embedding as two BSGS transforms, returning
-    a fresh ciphertext at a low level with the original message.
+    so the small-angle regime holds; callers scale down accordingly, as
+    OpenFHE's correction factor does).
+  * SlotsToCoeffs: m1 + i*m2 repacked by one complex plaintext multiply,
+    then the forward factored chain (`level_budget[1]` stages).
 
-This round supports full single-level transforms (O(slots) diagonals),
-which is practical at the insecure test rings; the FFT-factored
-level-budget variant (OpenFHE's {4,4}/{5,5}) is the planned upgrade for
-production rings.
+Intermediate slot vectors live in bit-reversed coefficient order - the
+factored stages absorb the FFT permutation, and EvalMod is elementwise so
+the order cancels between C2S and S2C (standard trick; the permutation is
+never materialized).
 """
 
 from __future__ import annotations
@@ -30,17 +34,17 @@ import numpy as np
 from ..ops.chebyshev import ChebyshevPS, chebyshev_fit
 from ..ops.linear_transform import LinearTransform
 from .cipher import Ciphertext
-from .encoding import embed_forward, embed_inverse
 from .evaluator import Evaluator, _pc_slice, _tab_slice
+from .fft_factors import c2s_factors, s2c_factors
 from . import ntt as nttm
-from .modmath import add_mod, reduce_u32, shoup_mulmod, sub_mod
-import jax
+from .modmath import reduce_u32, sub_mod
 import jax.numpy as jnp
 
 
 class Bootstrapper:
     def __init__(self, ev: Evaluator, slots: int | None = None,
-                 K: float = 25.0, sin_degree: int = 255):
+                 K: float = 25.0, sin_degree: int = 255,
+                 level_budget: tuple = (1, 1)):
         self.ev = ev
         ctx = ev.ctx
         n = ctx.params.ring_n
@@ -49,44 +53,19 @@ class Bootstrapper:
         assert self.slots == nh, "bootstrap currently requires full packing"
         self.K = K
         self.q0 = ctx.q_primes[0]
-        self.bottom_level = ctx.params.mult_depth + ctx.params.base_limbs - 1
-        # NOTE: bottom_level indexes the 1-limb state (below the rescale
-        # floor); we only reach it by level_reduce, never by rescale.
+        self.level_budget = level_budget
 
-        # --- probing the real-linear slot->coeff maps: a = A z + B conj(z)
-        M1 = np.zeros((n, nh), dtype=np.complex128)
-        M2 = np.zeros((n, nh), dtype=np.complex128)
-        for t in range(nh):
-            e = np.zeros(nh, dtype=np.complex128)
-            e[t] = 1.0
-            M1[:, t] = embed_inverse(e, n)
-            e[t] = 1j
-            M2[:, t] = embed_inverse(e, n)
-        A = (M1 - 1j * M2) / 2.0
-        B = (M1 + 1j * M2) / 2.0
-
-        # C2S: slots of the raised ct are w = embed_forward(c)/s0 where c is
-        # the coefficient vector (a + q0*I) and s0 the level-0 canonical
-        # scale.  Want slots = c_half / q0:  c = s0 * (A w + B conj(w)).
+        # C2S chain: u_br = (s0/q0) * [prod groups] * w, 1/nh and s0/q0
+        # folded into the first-applied group's diagonals
         f = float(ctx.scale_dec(0)) / float(self.q0)
-        self.c2s_lo = (LinearTransform(ev, f * A[:nh, :], nh),
-                       LinearTransform(ev, f * B[:nh, :], nh))
-        self.c2s_hi = (LinearTransform(ev, f * A[nh:, :], nh),
-                       LinearTransform(ev, f * B[nh:, :], nh))
-
-        # S2C: given slots u1 = c_lo/q0, u2 = c_hi/q0 (post EvalMod these are
-        # a_lo/q0, a_hi/q0), final slots must be z = embed_forward(a)/s_out
-        # where s_out is the canonical scale at the output level; the exact
-        # per-level factor is folded in at apply time via a scalar multiply,
-        # so the matrices carry q0/s_bottom with s_bottom = scale the input
-        # ciphertext carried (folded below in `bootstrap`).
-        F = np.zeros((nh, n), dtype=np.complex128)
-        for k in range(n):
-            e = np.zeros(n)
-            e[k] = 1.0
-            F[:, k] = embed_forward(e, n)
-        self.F_lo = F[:, :nh]
-        self.F_hi = F[:, nh:]
+        groups = c2s_factors(n, level_budget[0])
+        self.c2s = [
+            LinearTransform.from_diagonals(ev, g, nh, scale=(f if i == 0 else None))
+            for i, g in enumerate(groups)
+        ]
+        # S2C groups are scaled at apply time (factor depends on the input
+        # ciphertext's bottom scale), cached per scale
+        self._s2c_groups = s2c_factors(n, level_budget[1])
         self._s2c_cache = {}
 
         # EvalMod: h(v) = sin(2 pi K v) / (2 pi) on [-1, 1]
@@ -99,13 +78,12 @@ class Bootstrapper:
 
     def required_rotations(self) -> set:
         idx = set()
-        for lt in (*self.c2s_lo, *self.c2s_hi):
+        for lt in self.c2s:
             idx |= lt.required_rotations()
-        nh = self.slots
-        # S2C transforms are built per call but share the BSGS structure
-        from ..ops.linear_transform import LinearTransform as LT
-
-        idx |= LT(self.ev, np.ones((nh, nh)), nh).required_rotations()
+        for g in self._s2c_groups:
+            idx |= LinearTransform.from_diagonals(
+                self.ev, g, self.slots
+            ).required_rotations()
         return idx
 
     def _mod_raise(self, ct: Ciphertext) -> Ciphertext:
@@ -130,11 +108,6 @@ class Bootstrapper:
         data = nttm.ntt(ext, t_all)
         return Ciphertext(data, 0, 1, ct.slots)
 
-    def _apply_pair(self, lts, ct, ct_conj):
-        a = lts[0].apply(ct)
-        b = lts[1].apply(ct_conj)
-        return self.ev.add(a, b)
-
     def bootstrap(self, ct: Ciphertext, msg_scale_down: float | None = None
                   ) -> Ciphertext:
         """Refresh `ct` to a low level.  |message| must be < 0.5 (callers
@@ -150,35 +123,43 @@ class Bootstrapper:
         if ct.sdeg == 2:
             ct = ev.rescale(ct)
         s_bottom = float(ctx.scale_dec(ct.level))
-        data1 = ct.data[:, :1, :]
-        ct1 = Ciphertext(data1, ct.level, 1, ct.slots)
+        ct1 = Ciphertext(ct.data[:, :1, :], ct.level, 1, ct.slots)
 
         raised = self._mod_raise(ct1)
 
-        conj = ev.conjugate(raised)
-        u1 = self._apply_pair(self.c2s_lo, raised, conj)
-        u2 = self._apply_pair(self.c2s_hi, raised, conj)
+        # CoeffsToSlots: factored chain, then re/im split by conjugation
+        u = raised
+        for lt in self.c2s:
+            u = lt.apply(u)
+        uc = ev.conjugate(u)
+        u1 = ev.mult(ev.add(u, uc), 0.5)                       # c_lo_br / q0
+        u2 = ev.mult_plain_at(
+            ev.sub(u, uc), np.full(nh, -0.5j)
+        )                                                      # c_hi_br / q0
 
         # EvalMod: v = u / K, then sin series
-        v1 = ev.mult(u1, 1.0 / self.K)
-        v2 = ev.mult(u2, 1.0 / self.K)
-        m1 = self.ps.evaluate(v1, self.sin_coeffs)   # slots ~ a_lo / q0
-        m2 = self.ps.evaluate(v2, self.sin_coeffs)
+        m1 = self.ps.evaluate(ev.mult(u1, 1.0 / self.K), self.sin_coeffs)
+        m2 = self.ps.evaluate(ev.mult(u2, 1.0 / self.K), self.sin_coeffs)
 
-        # S2C at the current level: slots -> coefficients -> slot semantics
+        # SlotsToCoeffs: pack m1 + i m2, then the forward factored chain
         m1, m2 = ev.align_group([m1, m2])
-        if m1.sdeg == 2:
-            m1, m2 = ev.rescale(m1), ev.rescale(m2)
-        # slots of m1/m2 are a/q0; the original coefficients carry s_bottom,
-        # so the forward-embedding matrices are scaled by q0/s_bottom
+        m2i = ev.mult_plain_at(m2, np.full(nh, 1j))
+        if m1.sdeg != m2i.sdeg or m1.level != m2i.level:
+            m1, m2i = ev.align_group([m1, m2i])
+        mhat = ev.add(m1, m2i)
+
         f = float(self.q0) / s_bottom
         key = round(f, 12)
         if key not in self._s2c_cache:
-            lt1 = LinearTransform(ev, f * self.F_lo, nh)
-            lt2 = LinearTransform(ev, f * self.F_hi, nh)
-            self._s2c_cache[key] = (lt1, lt2)
-        lt1, lt2 = self._s2c_cache[key]
-        out = ev.add(lt1.apply(m1), lt2.apply(m2))
+            self._s2c_cache[key] = [
+                LinearTransform.from_diagonals(
+                    ev, g, nh, scale=(f if i == 0 else None)
+                )
+                for i, g in enumerate(self._s2c_groups)
+            ]
+        out = mhat
+        for lt in self._s2c_cache[key]:
+            out = lt.apply(out)
         if msg_scale_down:
             out = ev.mult(out, msg_scale_down)
         return out

@@ -125,17 +125,19 @@ class PrimeConsts:
     r2_32: jnp.ndarray
     r2_32_shoup: jnp.ndarray
     p_inv32: jnp.ndarray
+    sh256: jnp.ndarray           # shoup(256, p) for digit-matmul recombines
 
     def slice(self, idx) -> "PrimeConsts":
         idx = np.asarray(idx)
         return PrimeConsts(
-            self.p[idx], self.r2_32[idx], self.r2_32_shoup[idx], self.p_inv32[idx]
+            self.p[idx], self.r2_32[idx], self.r2_32_shoup[idx],
+            self.p_inv32[idx], self.sh256[idx],
         )
 
 
 tree_util.register_pytree_node(
     PrimeConsts,
-    lambda c: ((c.p, c.r2_32, c.r2_32_shoup, c.p_inv32), None),
+    lambda c: ((c.p, c.r2_32, c.r2_32_shoup, c.p_inv32, c.sh256), None),
     lambda aux, ch: PrimeConsts(*ch),
 )
 
@@ -151,6 +153,9 @@ def _prime_consts(prime_list) -> PrimeConsts:
         ),
         p_inv32=jnp.asarray(
             ((np.uint64(1) << np.uint64(32)) // ps).astype(np.uint32)[:, None]
+        ),
+        sh256=jnp.asarray(
+            np.stack([host_shoup(np.uint64(256), int(p)) for p in ps])[:, None]
         ),
     )
 
@@ -176,19 +181,23 @@ tree_util.register_pytree_node(
 
 @dataclass(frozen=True)
 class DigitPlan:
-    """ModUp tables for one hybrid digit at one level."""
+    """ModUp tables for one hybrid digit at one level.
+
+    The base extension out[t] = sum_i fac[i,t] * y[i] mod p_t runs as an
+    MXU digit matmul (cf. core/ntt_mxu.py): `ext_dT` holds the [T, alpha]
+    factor matrix as 4 balanced s8 digit planes.
+    """
 
     limb_lo: int                     # static: first limb index of the digit
     limb_hi: int                     # static: one past last limb index
     dhat_inv: jnp.ndarray            # [alpha, 1] (D'_j/q_i)^{-1} mod q_i
     dhat_inv_shoup: jnp.ndarray
-    ext_fac: jnp.ndarray             # [alpha, T, 1] (D'_j/q_i) mod q_target
-    ext_fac_shoup: jnp.ndarray
+    ext_dT: jnp.ndarray              # [4, T, alpha] s8 digit planes
 
 
 tree_util.register_pytree_node(
     DigitPlan,
-    lambda c: ((c.dhat_inv, c.dhat_inv_shoup, c.ext_fac, c.ext_fac_shoup),
+    lambda c: ((c.dhat_inv, c.dhat_inv_shoup, c.ext_dT),
                (c.limb_lo, c.limb_hi)),
     lambda aux, ch: DigitPlan(aux[0], aux[1], *ch),
 )
@@ -203,16 +212,15 @@ class KeySwitchPlan:
     # ModDown (divide by P) tables:
     phat_inv: jnp.ndarray            # [K, 1]
     phat_inv_shoup: jnp.ndarray
-    pext_fac: jnp.ndarray            # [K, Ll, 1]
-    pext_fac_shoup: jnp.ndarray
+    pext_dT: jnp.ndarray             # [4, Ll, K] s8 digit planes
     p_inv_mod_qi: jnp.ndarray        # [Ll, 1]
     p_inv_mod_qi_shoup: jnp.ndarray
 
 
 tree_util.register_pytree_node(
     KeySwitchPlan,
-    lambda c: ((c.digits, c.phat_inv, c.phat_inv_shoup, c.pext_fac,
-                c.pext_fac_shoup, c.p_inv_mod_qi, c.p_inv_mod_qi_shoup),
+    lambda c: ((c.digits, c.phat_inv, c.phat_inv_shoup, c.pext_dT,
+                c.p_inv_mod_qi, c.p_inv_mod_qi_shoup),
                (c.target_idx,)),
     lambda aux, ch: KeySwitchPlan(ch[0], aux[0], *ch[1:]),
 )
@@ -349,12 +357,14 @@ class Context:
                 [pow(dhat[i], -1, dp[i]) for i in range(len(dp))], dtype=np.uint64
             )
             ext = np.zeros((len(dp), len(target_primes)), dtype=np.uint64)
-            ext_sh = np.zeros_like(ext)
             for i in range(len(dp)):
                 for t, pt in enumerate(target_primes):
-                    v = dhat[i] % pt
-                    ext[i, t] = v
-                    ext_sh[i, t] = int(host_shoup(np.uint64(v), pt))
+                    ext[i, t] = dhat[i] % pt
+            # digit-matmul bound: the recombination's group sums must stay
+            # below every target prime (cf. ntt_mxu._mm_mod)
+            assert 4 * 128 * 128 * len(dp) < min(target_primes)
+            from .ntt_mxu import _balanced_digits_host
+
             digits.append(
                 DigitPlan(
                     limb_lo=lo,
@@ -365,8 +375,7 @@ class Context:
                             [host_shoup(dhat_inv[i], dp[i]) for i in range(len(dp))]
                         )[:, None]
                     ),
-                    ext_fac=jnp.asarray(ext.astype(np.uint32)[:, :, None]),
-                    ext_fac_shoup=jnp.asarray(ext_sh.astype(np.uint32)[:, :, None]),
+                    ext_dT=jnp.asarray(_balanced_digits_host(ext.T)),
                 )
             )
 
@@ -377,12 +386,12 @@ class Context:
             [pow(phat[i], -1, self.sp_primes[i]) for i in range(K)], dtype=np.uint64
         )
         pext = np.zeros((K, Ll), dtype=np.uint64)
-        pext_sh = np.zeros_like(pext)
         for i in range(K):
             for t, q in enumerate(active):
-                v = phat[i] % q
-                pext[i, t] = v
-                pext_sh[i, t] = int(host_shoup(np.uint64(v), q))
+                pext[i, t] = phat[i] % q
+        assert 4 * 128 * 128 * K < min(active)
+        from .ntt_mxu import _balanced_digits_host
+
         pinv = np.array([pow(self.P, -1, q) for q in active], dtype=np.uint64)
         return KeySwitchPlan(
             digits=tuple(digits),
@@ -393,8 +402,7 @@ class Context:
                     [host_shoup(phat_inv[i], self.sp_primes[i]) for i in range(K)]
                 )[:, None]
             ),
-            pext_fac=jnp.asarray(pext.astype(np.uint32)[:, :, None]),
-            pext_fac_shoup=jnp.asarray(pext_sh.astype(np.uint32)[:, :, None]),
+            pext_dT=jnp.asarray(_balanced_digits_host(pext.T)),
             p_inv_mod_qi=jnp.asarray(pinv.astype(np.uint32)[:, None]),
             p_inv_mod_qi_shoup=jnp.asarray(
                 np.stack([host_shoup(pinv[i], active[i]) for i in range(Ll)])[:, None]

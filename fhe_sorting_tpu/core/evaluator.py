@@ -71,14 +71,14 @@ def _tab_concat(a, b):
 
 def _pc_slice(pc: PrimeConsts, lo: int, hi: int) -> PrimeConsts:
     return PrimeConsts(pc.p[lo:hi], pc.r2_32[lo:hi], pc.r2_32_shoup[lo:hi],
-                       pc.p_inv32[lo:hi])
+                       pc.p_inv32[lo:hi], pc.sh256[lo:hi])
 
 
 def _pc_concat(a: PrimeConsts, b: PrimeConsts) -> PrimeConsts:
     cat = lambda x, y: jnp.concatenate([x, y], axis=0)
     return PrimeConsts(cat(a.p, b.p), cat(a.r2_32, b.r2_32),
                        cat(a.r2_32_shoup, b.r2_32_shoup),
-                       cat(a.p_inv32, b.p_inv32))
+                       cat(a.p_inv32, b.p_inv32), cat(a.sh256, b.sh256))
 
 
 class Evaluator:
@@ -402,8 +402,12 @@ class Evaluator:
     # -- key switching -----------------------------------------------------
 
     def _modup(self, d_limb: jnp.ndarray, level: int, dev: DevState):
-        """Hybrid ModUp: [Ll, n] eval -> per-digit extended [T, n] eval."""
-        ctx = self.ctx
+        """Hybrid ModUp: [Ll, n] eval -> per-digit extended [T, n] eval.
+
+        The CRT base extension runs as an MXU digit matmul
+        (ntt_mxu.mod_matmul_digits): out[t] = sum_i fac[i,t] y[i] mod p_t."""
+        from .ntt_mxu import _balanced_digits_dev, mod_matmul_digits
+
         plan = dev.ks_plans[level]
         t_active, _ = self._active(dev, level)
         t_target, pc_t = self._target(dev, level)
@@ -413,13 +417,8 @@ class Evaluator:
             pc_d = _pc_slice(dev.pc, dp.limb_lo, dp.limb_hi)
             y = shoup_mulmod(d_coeff[dp.limb_lo : dp.limb_hi], dp.dhat_inv,
                              dp.dhat_inv_shoup, pc_d.p)
-            T = pc_t.p.shape[0]
-            n = y.shape[-1]
-            acc = jnp.zeros((T, n), dtype=jnp.uint32)
-            for i in range(dp.limb_hi - dp.limb_lo):
-                term = shoup_mulmod(y[i][None], dp.ext_fac[i],
-                                    dp.ext_fac_shoup[i], pc_t.p)
-                acc = add_mod(acc, term, pc_t.p)
+            acc = mod_matmul_digits(dp.ext_dT, _balanced_digits_dev(y),
+                                    pc_t.p, pc_t.sh256)
             out.append(nttm.ntt(acc[None], t_target)[0])
         return out
 
@@ -447,22 +446,19 @@ class Evaluator:
         return acc0, acc1
 
     def _moddown(self, c: jnp.ndarray, level: int, dev: DevState) -> jnp.ndarray:
+        from .ntt_mxu import _balanced_digits_dev, mod_matmul_digits
+
         ctx = self.ctx
         plan = dev.ks_plans[level]
         Ll = ctx.limbs_at(level)
-        K = ctx.num_sp
         t_active, pc_a = self._active(dev, level)
         t_sp, pc_sp = self._special(dev)
         cq = c[:Ll]
         cp = c[Ll:]
         cp_coeff = nttm.intt(cp[None], t_sp)[0]
         y = shoup_mulmod(cp_coeff, plan.phat_inv, plan.phat_inv_shoup, pc_sp.p)
-        n = c.shape[-1]
-        acc = jnp.zeros((Ll, n), dtype=jnp.uint32)
-        for i in range(K):
-            term = shoup_mulmod(y[i][None], plan.pext_fac[i],
-                                plan.pext_fac_shoup[i], pc_a.p)
-            acc = add_mod(acc, term, pc_a.p)
+        acc = mod_matmul_digits(plan.pext_dT, _balanced_digits_dev(y),
+                                pc_a.p, pc_a.sh256)
         ext_eval = nttm.ntt(acc[None], t_active)[0]
         num = sub_mod(cq, ext_eval, pc_a.p)
         return shoup_mulmod(num, plan.p_inv_mod_qi, plan.p_inv_mod_qi_shoup,

@@ -204,6 +204,22 @@ def _balanced_digits_dev(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(outs)
 
 
+def _recombine(groups, p, sh256) -> jnp.ndarray:
+    """Fold 7 digit-weight group sums (s32, each in (-p, p)) into
+    sum_t S_t 256^t mod p via a Shoup-Horner ladder."""
+
+    def to_mod(s):
+        return jnp.where(s < 0, s + p.astype(jnp.int32), s).astype(jnp.uint32)
+
+    acc = to_mod(groups[6])
+    for t in range(5, -1, -1):
+        acc = shoup_mulmod(acc, jnp.uint32(256), sh256, p)
+        st = to_mod(groups[t])
+        u = acc + st
+        acc = jnp.where(u >= p, u - p, u)
+    return acc
+
+
 def _mm_mod(dA: jnp.ndarray, dB: jnp.ndarray, p, sh256) -> jnp.ndarray:
     """out[l,i,j] = sum_k A[l,i,k] B[l,k,j] mod p from digit planes [4,L,.,.].
 
@@ -219,17 +235,28 @@ def _mm_mod(dA: jnp.ndarray, dB: jnp.ndarray, p, sh256) -> jnp.ndarray:
                                      preferred_element_type=jnp.int32)
             t = a + b
             groups[t] = pp if groups[t] is None else groups[t] + pp
+    return _recombine(groups, p, sh256)
 
-    def to_mod(s):
-        return jnp.where(s < 0, s + p.astype(jnp.int32), s).astype(jnp.uint32)
 
-    acc = to_mod(groups[6])
-    for t in range(5, -1, -1):
-        acc = shoup_mulmod(acc, jnp.uint32(256), sh256, p)
-        st = to_mod(groups[t])
-        u = acc + st
-        acc = jnp.where(u >= p, u - p, u)
-    return acc
+def mod_matmul_digits(dA: jnp.ndarray, dB: jnp.ndarray, p_col,
+                      sh256_col) -> jnp.ndarray:
+    """out[i, j] = sum_k A[i,k] B[k,j] mod p_i (per-ROW modulus).
+
+    dA [4, m, k] s8 (host-precomputed constants, e.g. CRT base-extension
+    factors per target prime), dB [4, k, n] s8 (device data digits),
+    p_col/sh256_col [m, 1].  This is the MXU form of the hybrid key-switch
+    ModUp/ModDown extensions (each output limb is an independent inner
+    product over the source limbs).
+    """
+    dn = (((1,), (0,)), ((), ()))
+    groups: list = [None] * 7
+    for a in range(4):
+        for b in range(4):
+            pp = jax.lax.dot_general(dA[a], dB[b], dn,
+                                     preferred_element_type=jnp.int32)
+            t = a + b
+            groups[t] = pp if groups[t] is None else groups[t] + pp
+    return _recombine(groups, p_col, sh256_col)
 
 
 def _ntt_one(x: jnp.ndarray, t: FourStepTables, inverse: bool) -> jnp.ndarray:

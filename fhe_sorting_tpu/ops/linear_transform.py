@@ -51,6 +51,21 @@ class LinearTransform:
         self.bs = max(1, int(np.sqrt(slots)))
         self.diags = matrix_diagonals(M)
 
+    @classmethod
+    def from_diagonals(cls, ev: Evaluator, diags: dict, slots: int,
+                       scale=None) -> "LinearTransform":
+        """Build directly from {offset: vector} generalized diagonals (the
+        FFT-factored bootstrap groups, core/fft_factors.py); baby-step count
+        sized to the actual diagonal spread."""
+        self = cls.__new__(cls)
+        self.ev = ev
+        self.slots = slots
+        self.diags = ({d: np.asarray(v) * scale for d, v in diags.items()}
+                      if scale is not None else dict(diags))
+        nd = max(2, len(self.diags))
+        self.bs = max(1, 1 << (int(np.ceil(np.log2(nd))) // 2))
+        return self
+
     def required_rotations(self) -> set:
         idx = set()
         for d in self.diags:

@@ -60,3 +60,12 @@ def direct_sort_sign_cfg(n: int):
     if n <= 256:
         return (4, 3, 3)
     return (4, 4, 3)
+
+
+def measured_direct_sort_depth(n: int, ring_n: int, sign_cfg=None) -> int:
+    """Computed depth for THIS implementation (stretched sinc fit etc.) via
+    the metadata-only depth meter - the live replacement for the reference
+    table above; see utils/depth_meter.py."""
+    from .depth_meter import measure_direct_sort_depth
+
+    return measure_direct_sort_depth(n, ring_n, sign_cfg)["mult_depth"]

@@ -73,6 +73,22 @@ def test_mod_raise(env):
     assert np.median(err) < 50  # within CKKS noise of the bottom limb
 
 
+def test_bootstrap_level_budget_2(env):
+    """FFT-factored transforms (levelBudget {2,2} parity,
+    kway_adapter.h:56-62): sparse factor chains refresh correctly."""
+    ctx, keys, ev = env
+    bs = Bootstrapper(ev, K=13.0, sin_degree=127, level_budget=(2, 2))
+    keys.gen_rotation_keys(sorted(bs.required_rotations()))
+    rng = np.random.default_rng(3)
+    z = rng.uniform(-0.2, 0.2, 128)
+    ct = keys.encrypt(z)
+    ct_low = ev.level_reduce(ct, ctx.params.mult_depth - 1)
+    out = bs.bootstrap(ct_low)
+    got = keys.decrypt(out, 128)
+    assert out.level < ct_low.level
+    np.testing.assert_allclose(got, z, atol=2e-2)
+
+
 @pytest.mark.slow
 def test_bootstrap_end_to_end(env):
     ctx, keys, ev = env

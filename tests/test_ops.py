@@ -133,3 +133,31 @@ def test_rotation_tree_hoisted(ctx16):
     for r in [1, 2, 3, 5, 8]:
         got = keys.decrypt(tree.rotate(r))
         np.testing.assert_allclose(got, np.roll(x, -r), atol=2e-4, err_msg=f"r={r}")
+
+
+def test_depth_meter_predicts_exactly():
+    """The metadata-only depth meter's prediction is exact: a context with
+    precisely the measured mult_depth completes the sort (and one less
+    would exhaust, by construction of max_level)."""
+    from fhe_sorting_tpu.core.context import CkksParams, Context
+    from fhe_sorting_tpu.core.keys import Keys
+    from fhe_sorting_tpu.core.evaluator import Evaluator
+    from fhe_sorting_tpu.models.direct_sort import (
+        DirectSort, rotation_indices_direct_sort,
+    )
+    from fhe_sorting_tpu.utils.depth_meter import measure_direct_sort_depth
+
+    N, ring = 4, 512
+    cfg = SignConfig(CompositeSignConfig(3, 2, 2))
+    m = measure_direct_sort_depth(N, ring, cfg)
+    ctx = Context(CkksParams(ring_n=ring, mult_depth=m["mult_depth"]))
+    keys = Keys.generate(ctx, seed=0)
+    keys.gen_rotation_keys(sorted(
+        rotation_indices_direct_sort(N, ring) | {1 << i for i in range(8)}
+    ))
+    ev = Evaluator(ctx, keys)
+    x = np.array([0.7, 0.1, 0.9, 0.4])
+    out = DirectSort(ev, N).sort(keys.encrypt(x), SignFunc.CompositeSign, cfg)
+    assert out.level == m["final_level"]
+    got = keys.decrypt(out)[:N]
+    np.testing.assert_allclose(got, np.sort(x), atol=0.01)
