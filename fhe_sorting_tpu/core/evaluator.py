@@ -84,10 +84,17 @@ def _pc_concat(a: PrimeConsts, b: PrimeConsts) -> PrimeConsts:
 class Evaluator:
     """Op collection bound to a Context + Keys (role parity: CryptoContext)."""
 
-    def __init__(self, ctx: Context, keys: Keys, jit_ops: bool = True):
+    def __init__(self, ctx: Context, keys: Keys, jit_ops: bool = True,
+                 pt_cache_entries: int = 1024):
         self.ctx = ctx
         self.keys = keys
         self.jit_ops = jit_ops
+        # Plaintext-encode memo: sort graphs re-request the same masks every
+        # call (trace time), and each encode costs an embedding FFT + CRT +
+        # host NTT + H2D copy.  LRU-bounded so HBM stays bounded.
+        from collections import OrderedDict
+        self._pt_cache: OrderedDict = OrderedDict()
+        self._pt_cache_entries = pt_cache_entries
         self._dev = DevState(
             tables=ctx.tables, pc=ctx.pc,
             ks_plans=tuple(ctx.ks_plans),
@@ -141,13 +148,25 @@ class Evaluator:
         """MakeCKKSPackedPlaintext parity (explicit level/slots args)."""
         ctx = self.ctx
         values = np.asarray(values)
+        values = values.astype(
+            np.complex128 if np.iscomplexobj(values) else np.float64
+        )
         s = slots if slots is not None else len(values)
+        key = (values.tobytes(), values.dtype.char, level, sdeg, s)
+        hit = self._pt_cache.get(key)
+        if hit is not None:
+            self._pt_cache.move_to_end(key)
+            return hit
         scale = ctx.scale(level, sdeg)
         coeffs = encode_coeffs(values, ctx.params.ring_n, scale, slots=s)
         Ll = ctx.limbs_at(level)
         res = coeffs_to_residues(coeffs, ctx.q_primes[:Ll])
         ev = _host_ntt_all(ctx, res, range(Ll))
-        return Plaintext(jnp.asarray(ev.astype(np.uint32)), level, sdeg, s)
+        pt = Plaintext(jnp.asarray(ev.astype(np.uint32)), level, sdeg, s)
+        self._pt_cache[key] = pt
+        if len(self._pt_cache) > self._pt_cache_entries:
+            self._pt_cache.popitem(last=False)
+        return pt
 
     # -- add / sub / neg ---------------------------------------------------
 

