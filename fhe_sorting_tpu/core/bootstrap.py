@@ -51,6 +51,9 @@ class Bootstrapper:
         nh = n // 2
         self.slots = slots or nh
         assert self.slots == nh, "bootstrap currently requires full packing"
+        assert ctx.params.comp == 1, (
+            "bootstrap ModRaise is single-prime for now (comp=1)"
+        )
         self.K = K
         self.q0 = ctx.q_primes[0]
         self.level_budget = level_budget

@@ -53,7 +53,13 @@ class CkksParams:
 
     ring_n: int                  # ring dimension (polynomial degree)
     mult_depth: int              # usable multiplicative depth
-    scale_bits: int = 28         # log2 of the target scaling factor
+    scale_bits: int = 28         # log2 of the target scaling factor Delta
+    comp: int = 1                # primes per level (composite scaling):
+    #   the TPU datapath caps primes below 2^31, so a reference-grade scale
+    #   (40..59 bits, kway_adapter.h:52-54) is reached by dropping `comp`
+    #   u32 primes per rescale whose product tracks Delta = 2^scale_bits.
+    #   comp=2 with scale_bits=56 gives ~2^-42 relative noise per level vs
+    #   ~2^-14 for the single-prime 28-bit chain - required for deep sorts.
     special_bits: int = 30       # bit size of key-switch special primes
     dnum: int = 3                # hybrid key-switch digit count
     base_limbs: int = 2          # limbs reserved below the last rescale
@@ -62,9 +68,17 @@ class CkksParams:
     secret_hamming: int | None = None  # sparse ternary secret (bootstrapping)
     ntt_impl: str = "auto"       # "auto" | "butterfly" | "mxu" (four-step)
 
+    def __post_init__(self):
+        assert self.scale_bits % self.comp == 0, (self.scale_bits, self.comp)
+        assert self.scale_bits // self.comp < 31, "per-prime size must be u32"
+
+    @property
+    def prime_bits(self) -> int:  # per-prime size of the scaling chain
+        return self.scale_bits // self.comp
+
     @property
     def num_q(self) -> int:      # limbs of a fresh ciphertext
-        return self.mult_depth + self.base_limbs
+        return self.comp * self.mult_depth + self.base_limbs
 
     @property
     def max_slots(self) -> int:
@@ -76,23 +90,37 @@ def _choose_prime_chain(params: CkksParams):
 
     Returns (q_primes ordered limb 0..Lq-1, canonical scales as Decimal per
     level 0..mult_depth).  Limb Lq-1 is dropped first (level 0 rescale).
+    With composite scaling (comp > 1) each level drops `comp` primes whose
+    *product* is glued to s_l^2 / Delta: the first comp-1 sit near
+    2^prime_bits and the last absorbs the remainder.
     """
     n, m = params.ring_n, 2 * params.ring_n
     delta = Decimal(2) ** params.scale_bits
+    unit = Decimal(2) ** params.prime_bits
 
-    # Candidate pool around 2^scale_bits (both sides).
+    # Candidate pool around 2^prime_bits (both sides).  Big rings (2^17) have
+    # only a few hundred u32 NTT primes total, so stop expanding once both
+    # directions are exhausted and only require enough for the chain itself.
     pool = []
-    center_k = (1 << params.scale_bits) // m
+    want = params.num_q + 4 * params.comp * params.mult_depth + 64
+    center_k = (1 << params.prime_bits) // m
     k_lo, k_hi = center_k, center_k + 1
-    while len(pool) < params.num_q + 4 * params.mult_depth + 64:
+    while len(pool) < want:
+        lo_dead = k_lo <= 0
+        hi_dead = k_hi * m + 1 >= 2**31
+        if lo_dead and hi_dead:
+            break
         for k in (k_lo, k_hi):
             cand = k * m + 1
-            if cand < 2**31 and primes_mod.is_prime(cand):
+            if m < cand < 2**31 and primes_mod.is_prime(cand):
                 pool.append(cand)
         k_lo -= 1
         k_hi += 1
-        if k_lo <= 0:
-            raise ValueError("prime pool exhausted")
+    if len(pool) < params.num_q + 8:
+        raise ValueError(
+            f"prime pool exhausted: {len(pool)} primes = 1 mod {m} "
+            f"near 2^{params.prime_bits}, need {params.num_q}"
+        )
     pool = sorted(set(pool))
 
     used = set()
@@ -103,17 +131,28 @@ def _choose_prime_chain(params: CkksParams):
         return best
 
     scales = [delta]
-    drop_order = []  # prime dropped at level l
+    drop_order = []  # tuple of comp primes dropped at level l
     for _ in range(params.mult_depth):
         s = scales[-1]
-        q = take_nearest(s * s / delta)
-        drop_order.append(q)
-        scales.append(s * s / Decimal(q))
+        target = s * s / delta
+        lvl_primes = []
+        prod = Decimal(1)
+        for j in range(params.comp - 1):
+            q = take_nearest(unit)
+            lvl_primes.append(q)
+            prod *= q
+        q = take_nearest(target / prod)
+        lvl_primes.append(q)
+        prod *= q
+        drop_order.append(tuple(lvl_primes))
+        scales.append(s * s / prod)
 
-    base = [take_nearest(delta) for _ in range(params.base_limbs)]
+    base = [take_nearest(unit) for _ in range(params.base_limbs)]
     # limb order: base primes at the bottom, then scaling primes such that
-    # the *last* limb is dropped first.
-    q_primes = base + list(reversed(drop_order))
+    # the *last* limb is dropped first (within a level, in lvl_primes order:
+    # the level's first-listed prime occupies the outermost limb).
+    flat = [q for lvl in drop_order for q in lvl]
+    q_primes = base + list(reversed(flat))
     return q_primes, scales
 
 
@@ -165,7 +204,6 @@ class RescalePlan:
     """Tables to divide by the level-l dropped prime (exact rounding)."""
 
     qlast_mod_qi: jnp.ndarray        # [Ll-1, 1]
-    qlast_mod_qi_shoup: jnp.ndarray  # unused (kept for symmetry)
     qlast_inv: jnp.ndarray           # [Ll-1, 1] q_drop^{-1} mod q_i
     qlast_inv_shoup: jnp.ndarray
     qlast_half: jnp.ndarray          # scalar u32
@@ -173,7 +211,7 @@ class RescalePlan:
 
 tree_util.register_pytree_node(
     RescalePlan,
-    lambda c: ((c.qlast_mod_qi, c.qlast_mod_qi_shoup, c.qlast_inv,
+    lambda c: ((c.qlast_mod_qi, c.qlast_inv,
                 c.qlast_inv_shoup, c.qlast_half), None),
     lambda aux, ch: RescalePlan(*ch),
 )
@@ -260,12 +298,18 @@ class Context:
         impl = os.environ.get("FHE_NTT", params.ntt_impl)
         if impl == "auto":
             # the MXU four-step path wins on TPU for rings big enough that
-            # the matmuls tile the systolic array; the butterfly remains the
-            # CPU/test default and the reference oracle
+            # the matmuls tile the systolic array AND the fused Pallas kernel
+            # applies (n1, n2 multiples of 128, i.e. ring >= 2^15).  For
+            # mid-size rings the XLA-lowered four-step graph compile-bombs
+            # inside key-switch (hundreds of sub-128 s8 dots), so the
+            # butterfly stays the default there and on CPU.
             import jax
 
-            impl = ("mxu" if jax.default_backend() == "tpu" and n >= 4096
-                    else "butterfly")
+            from .pallas_fs_ntt import supported as _fs_ok
+            from .ntt_mxu import split_n as _split_n
+
+            impl = ("mxu" if jax.default_backend() == "tpu"
+                    and _fs_ok(n, _split_n(n)[0]) else "butterfly")
         self.ntt_impl = impl
         if impl == "mxu":
             from . import ntt_mxu
@@ -281,7 +325,13 @@ class Context:
         # canonical scales: scale(level, sdeg) = scales[level]^sdeg
         self._scales_f64 = [float(s) for s in self._scales_dec]
 
-        self.rescale_plans = [self._build_rescale_plan(l) for l in range(params.mult_depth)]
+        # one plan per dropped limb: plan[d] divides a (num_q - d)-limb
+        # ciphertext by its last limb; a level-l rescale chains plans
+        # [l*comp, (l+1)*comp)
+        self.rescale_plans = [
+            self._build_rescale_plan(d)
+            for d in range(params.comp * params.mult_depth)
+        ]
         self.ks_plans = [self._build_ks_plan(l) for l in range(params.mult_depth + 1)]
 
         # evaluation-point exponent bookkeeping for automorphisms
@@ -298,26 +348,32 @@ class Context:
     def scale_dec(self, level: int) -> Decimal:
         return self._scales_dec[level]
 
+    def drop_primes(self, level: int) -> tuple:
+        """The comp primes removed by the rescale performed *at* `level`."""
+        c = self.params.comp
+        hi = self.num_q - c * level
+        return tuple(self.q_primes[hi - c : hi])
+
     def drop_prime(self, level: int) -> int:
-        """The prime removed by the rescale performed *at* `level`."""
-        return self.q_primes[self.num_q - 1 - level]
+        """Product of the primes removed by the level-`level` rescale."""
+        out = 1
+        for p in self.drop_primes(level):
+            out *= p
+        return out
 
     def limbs_at(self, level: int) -> int:
-        return self.num_q - level
+        return self.num_q - self.params.comp * level
 
     # -- rescale precompute ----------------------------------------------
 
-    def _build_rescale_plan(self, level: int) -> RescalePlan:
-        Ll = self.limbs_at(level)
+    def _build_rescale_plan(self, drop_idx: int) -> RescalePlan:
+        Ll = self.num_q - drop_idx
         q_last = self.q_primes[Ll - 1]
         rest = self.q_primes[: Ll - 1]
         qmod = np.array([q_last % p for p in rest], dtype=np.uint64)
         qinv = np.array([pow(q_last, -1, p) for p in rest], dtype=np.uint64)
         return RescalePlan(
             qlast_mod_qi=jnp.asarray(qmod.astype(np.uint32)[:, None]),
-            qlast_mod_qi_shoup=jnp.asarray(
-                np.stack([host_shoup(qmod[i], rest[i]) for i in range(len(rest))])[:, None]
-            ),
             qlast_inv=jnp.asarray(qinv.astype(np.uint32)[:, None]),
             qlast_inv_shoup=jnp.asarray(
                 np.stack([host_shoup(qinv[i], rest[i]) for i in range(len(rest))])[:, None]

@@ -85,16 +85,22 @@ class Evaluator:
     """Op collection bound to a Context + Keys (role parity: CryptoContext)."""
 
     def __init__(self, ctx: Context, keys: Keys, jit_ops: bool = True,
-                 pt_cache_entries: int = 1024):
+                 pt_cache_entries: int = 1024,
+                 pt_cache_bytes: int = 2 << 30):
         self.ctx = ctx
         self.keys = keys
         self.jit_ops = jit_ops
         # Plaintext-encode memo: sort graphs re-request the same masks every
         # call (trace time), and each encode costs an embedding FFT + CRT +
-        # host NTT + H2D copy.  LRU-bounded so HBM stays bounded.
+        # host NTT + H2D copy.  LRU-bounded by entries AND device bytes (a
+        # full-chain ring-2^16 plaintext is ~25 MB; entries alone would let
+        # the cache eat the whole HBM).
         from collections import OrderedDict
         self._pt_cache: OrderedDict = OrderedDict()
+        self._pt_host_cache: OrderedDict = OrderedDict()
         self._pt_cache_entries = pt_cache_entries
+        self._pt_cache_bytes = pt_cache_bytes
+        self._pt_cache_used = 0
         self._dev = DevState(
             tables=ctx.tables, pc=ctx.pc,
             ks_plans=tuple(ctx.ks_plans),
@@ -145,7 +151,13 @@ class Evaluator:
 
     def make_plaintext(self, values, level: int, sdeg: int = 1,
                        slots: int | None = None) -> Plaintext:
-        """MakeCKKSPackedPlaintext parity (explicit level/slots args)."""
+        """MakeCKKSPackedPlaintext parity (explicit level/slots args).
+
+        Two-tier memo: the host-side encode (embedding FFT + CRT + host NTT)
+        is always cached; the device Plaintext is cached ONLY when its array
+        is a concrete jax.Array.  Under a jit/eval_shape trace `jnp.asarray`
+        can yield a tracer, and caching that leaks it into later traces
+        (the round-1 MULTICHIP dryrun failure mode)."""
         ctx = self.ctx
         values = np.asarray(values)
         values = values.astype(
@@ -157,15 +169,27 @@ class Evaluator:
         if hit is not None:
             self._pt_cache.move_to_end(key)
             return hit
-        scale = ctx.scale(level, sdeg)
-        coeffs = encode_coeffs(values, ctx.params.ring_n, scale, slots=s)
-        Ll = ctx.limbs_at(level)
-        res = coeffs_to_residues(coeffs, ctx.q_primes[:Ll])
-        ev = _host_ntt_all(ctx, res, range(Ll))
-        pt = Plaintext(jnp.asarray(ev.astype(np.uint32)), level, sdeg, s)
-        self._pt_cache[key] = pt
-        if len(self._pt_cache) > self._pt_cache_entries:
-            self._pt_cache.popitem(last=False)
+        host = self._pt_host_cache.get(key)
+        if host is None:
+            scale = ctx.scale(level, sdeg)
+            coeffs = encode_coeffs(values, ctx.params.ring_n, scale, slots=s)
+            Ll = ctx.limbs_at(level)
+            res = coeffs_to_residues(coeffs, ctx.q_primes[:Ll])
+            host = _host_ntt_all(ctx, res, range(Ll)).astype(np.uint32)
+            self._pt_host_cache[key] = host
+            if len(self._pt_host_cache) > self._pt_cache_entries:
+                self._pt_host_cache.popitem(last=False)
+        else:
+            self._pt_host_cache.move_to_end(key)
+        arr = jnp.asarray(host)
+        pt = Plaintext(arr, level, sdeg, s)
+        if not isinstance(arr, jax.core.Tracer):
+            self._pt_cache[key] = pt
+            self._pt_cache_used += host.nbytes
+            while (len(self._pt_cache) > self._pt_cache_entries
+                   or self._pt_cache_used > self._pt_cache_bytes):
+                _, old = self._pt_cache.popitem(last=False)
+                self._pt_cache_used -= old.data.nbytes
         return pt
 
     # -- add / sub / neg ---------------------------------------------------
@@ -300,25 +324,27 @@ class Evaluator:
                 f"multiplicative depth exhausted (level {lvl} == mult_depth "
                 f"{ctx.params.mult_depth}); deepen parameters or bootstrap"
             )
-        Ll = ctx.limbs_at(lvl)
-        plan = dev.rescale_plans[lvl]
-        t_last = _tab_slice(dev.tables, Ll - 1, Ll)
-        t_rest = _tab_slice(dev.tables, 0, Ll - 1)
-        pc_rest = _pc_slice(dev.pc, 0, Ll - 1)
+        comp = ctx.params.comp
+        data = a.data
+        for j in range(comp):
+            Ll = ctx.limbs_at(lvl) - j
+            plan = dev.rescale_plans[lvl * comp + j]
+            t_last = _tab_slice(dev.tables, Ll - 1, Ll)
+            t_rest = _tab_slice(dev.tables, 0, Ll - 1)
+            pc_rest = _pc_slice(dev.pc, 0, Ll - 1)
 
-        last_coeff = nttm.intt(a.data[:, Ll - 1 :, :], t_last)  # [2,1,n]
-        x = last_coeff
-        xm = reduce_u32(x, pc_rest.p[None], pc_rest.p_inv32[None])
-        t = jnp.where(
-            x >= plan.qlast_half,
-            sub_mod(xm, plan.qlast_mod_qi[None], pc_rest.p[None]),
-            xm,
-        )
-        t_eval = nttm.ntt(t, t_rest)
-        num = sub_mod(a.data[:, : Ll - 1, :], t_eval, pc_rest.p[None])
-        out = shoup_mulmod(num, plan.qlast_inv[None], plan.qlast_inv_shoup[None],
-                           pc_rest.p[None])
-        return Ciphertext(out, lvl + 1, a.sdeg, a.slots)
+            x = nttm.intt(data[:, Ll - 1 :, :], t_last)  # [2,1,n] coeff
+            xm = reduce_u32(x, pc_rest.p[None], pc_rest.p_inv32[None])
+            t = jnp.where(
+                x >= plan.qlast_half,
+                sub_mod(xm, plan.qlast_mod_qi[None], pc_rest.p[None]),
+                xm,
+            )
+            t_eval = nttm.ntt(t, t_rest)
+            num = sub_mod(data[:, : Ll - 1, :], t_eval, pc_rest.p[None])
+            data = shoup_mulmod(num, plan.qlast_inv[None],
+                                plan.qlast_inv_shoup[None], pc_rest.p[None])
+        return Ciphertext(data, lvl + 1, a.sdeg, a.slots)
 
     def _rescale_impl(self, a: Ciphertext, dev: DevState) -> Ciphertext:
         assert a.sdeg == 2, "rescale only from scale degree 2"
@@ -348,14 +374,12 @@ class Evaluator:
                 a = self.rescale(a)
             f = self._jit_mult_pt if self.jit_ops else self._mult_plain_impl
             return f(a, b, self._dev)
-        if True:
-            # scalar: pre-rescale on the host side so the residues match
-            if a.sdeg == 2:
-                a = self.rescale(a)
-            sc = self._scalar_limbs(float(b), a.level,
-                                    self.ctx.scale(a.level, 1))
-            f = self._jit_mult_sc if self.jit_ops else self._mult_scalar_impl
-            return f(a, sc, self._dev)
+        # scalar: pre-rescale on the host side so the residues match
+        if a.sdeg == 2:
+            a = self.rescale(a)
+        sc = self._scalar_limbs(float(b), a.level, self.ctx.scale(a.level, 1))
+        f = self._jit_mult_sc if self.jit_ops else self._mult_scalar_impl
+        return f(a, sc, self._dev)
 
     def _mult_scalar_impl(self, a: Ciphertext, sc, dev) -> Ciphertext:
         _, pc = self._active(dev, a.level)

@@ -126,6 +126,76 @@ def test_rotation_sparse_period(small_ctx):
     np.testing.assert_allclose(got, np.roll(z, -1), atol=5e-5)
 
 
+# ---------------------------------------------------------------------------
+# Composite scaling (comp=2): two u32 primes per level, Delta = 2^56.
+# This is the TPU counterpart of the reference's 40..59-bit scales
+# (kway_adapter.h:52-54) - a single u32 prime cannot reach them.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def comp2_ctx():
+    ctx = Context(CkksParams(ring_n=256, mult_depth=6, scale_bits=56, comp=2,
+                             base_limbs=3, dnum=3))
+    keys = Keys.generate(ctx, seed=0)
+    keys.gen_rotation_keys([1, 2, 4, -1])
+    return ctx, keys, Evaluator(ctx, keys)
+
+
+def test_comp2_chain_layout(comp2_ctx):
+    ctx, keys, ev = comp2_ctx
+    assert ctx.num_q == 3 + 2 * 6
+    assert ctx.limbs_at(1) == ctx.num_q - 2
+    # canonical scales glued to 2^56
+    for lvl in range(ctx.params.mult_depth + 1):
+        assert abs(float(ctx.scale_dec(lvl)) / 2.0**56 - 1.0) < 2e-2
+
+
+def test_comp2_encrypt_decrypt(comp2_ctx):
+    ctx, keys, ev = comp2_ctx
+    rng = np.random.default_rng(0)
+    z = rng.uniform(-1, 1, 64)
+    ct = keys.encrypt(z)
+    np.testing.assert_allclose(keys.decrypt(ct), z, atol=1e-9)
+
+
+def test_comp2_deep_chain_precision(comp2_ctx):
+    """The whole point of comp=2: a full-depth squaring chain keeps ~1e-9
+    error where the 28-bit chain drifts to ~1e-3 (ring-noise 2^-42/level)."""
+    ctx, keys, ev = comp2_ctx
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, 64)
+    acc = keys.encrypt(x)
+    expect = x.copy()
+    for d in range(ctx.params.mult_depth - 1):
+        acc = ev.square(acc)
+        expect = expect * expect
+    np.testing.assert_allclose(keys.decrypt(acc), expect, atol=1e-8)
+
+
+def test_comp2_ops(comp2_ctx):
+    ctx, keys, ev = comp2_ctx
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-1, 1, 64)
+    y = rng.uniform(-1, 1, 64)
+    m = rng.uniform(-1, 1, 64)
+    cx, cy = keys.encrypt(x), keys.encrypt(y)
+    np.testing.assert_allclose(keys.decrypt(ev.mult(cx, cy)), x * y, atol=1e-8)
+    np.testing.assert_allclose(keys.decrypt(ev.add(ev.mult(cx, cy), cx)),
+                               x * y + x, atol=1e-8)
+    np.testing.assert_allclose(keys.decrypt(ev.mult(cx, 0.5)), 0.5 * x,
+                               atol=1e-8)
+    np.testing.assert_allclose(keys.decrypt(ev.mult_plain_at(cx, m)), m * x,
+                               atol=1e-8)
+    np.testing.assert_allclose(keys.decrypt(ev.rotate(cx, 2)),
+                               np.roll(x, -2), atol=1e-8)
+    # cross-level adjustment: mixed sdeg/level adds
+    cxy = ev.mult(cx, cy)
+    cxy2 = ev.mult(cxy, cy)
+    np.testing.assert_allclose(keys.decrypt(ev.add(cxy2, cx)),
+                               x * y * y + x, atol=1e-8)
+
+
 def test_rotation_after_mult(small_ctx):
     ctx, keys, ev = small_ctx
     rng = np.random.default_rng(5)
