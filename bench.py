@@ -27,7 +27,8 @@ BASELINE_S = {4: 89.34, 8: 249.99, 16: 472.66, 32: 911.74, 64: 1292.26,
               128: 2485.52, 256: 3846.34, 512: 4625.21, 1024: 5732.39}
 
 
-def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int, df: int):
+def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
+        df: int, comp: int = 2, dnum: int = 3):
     import os
 
     import jax
@@ -53,11 +54,17 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int, df: in
     )
 
     t0 = time.time()
-    ctx = Context(CkksParams(ring_n=ring, mult_depth=depth))
+    # composite scaling: Delta = 2^56 from u32 prime pairs - the noise
+    # floor a deep sort needs (the 28-bit chain noise-blew at depth 42)
+    ctx = Context(CkksParams(
+        ring_n=ring, mult_depth=depth,
+        scale_bits=56 if comp == 2 else 28, comp=comp,
+        base_limbs=4 if comp == 2 else 2, dnum=dnum,
+    ))
     keys = Keys.generate(ctx, seed=0)
-    steps = rotation_indices_direct_sort(n_arr, ring) | {
-        1 << i for i in range(ring.bit_length() - 2)
-    }
+    # exactly the keys DirectSort requests (computed registry) - each KSK is
+    # ~190 MB at this depth, so no speculative extras
+    steps = rotation_indices_direct_sort(n_arr, ring)
     keys.gen_rotation_keys(sorted(steps))
     ev = Evaluator(ctx, keys)
     srt = DirectSort(ev, n_arr)
@@ -102,6 +109,9 @@ def main():
     ap.add_argument("--dg", type=int, default=None,
                     help="sign g-iterations; default from the params registry")
     ap.add_argument("--df", type=int, default=None)
+    ap.add_argument("--comp", type=int, default=2,
+                    help="primes per level (2 -> Delta=2^56)")
+    ap.add_argument("--dnum", type=int, default=3)
     args = ap.parse_args()
 
     if args.cn is None or args.dg is None or args.df is None:
@@ -125,7 +135,8 @@ def main():
               f"({m['ct_mults_and_rotations'][0]} ct-mults)", file=sys.stderr)
 
     best, err = run(args.n, args.ring, args.depth, args.trials,
-                    args.cn, args.dg, args.df)
+                    args.cn, args.dg, args.df, comp=args.comp,
+                    dnum=args.dnum)
     base = BASELINE_S.get(args.n)
     print(json.dumps({
         "metric": f"directsort_n{args.n}_ring{args.ring}_wall_clock",

@@ -6,9 +6,9 @@ lanes, +-j rotations align partners, and a single batched compare + two
 multiplies perform every compare-and-swap of the stage at once.
 
 The reference bootstraps when the level exceeds 29 (sort_algo.h:1110-1112);
-until core/bootstrap.py lands, pass a `bootstrap_fn` or provision enough
-depth (the insecure-parameter test mode does the latter, which mirrors what
-the reference's fast tests do with HEStd_NotSet)."""
+pass a `bootstrap_fn` (e.g. a core/bootstrap.py Bootstrapper closure) or
+provision enough depth (the insecure-parameter test mode does the latter,
+which mirrors what the reference's fast tests do with HEStd_NotSet)."""
 
 from __future__ import annotations
 

@@ -132,7 +132,11 @@ class DirectSort(SortBase):
                  rot: RotationComposer | None = None):
         super().__init__(ev, N)
         self.max_batch = ev.ctx.params.ring_n // 2
-        assert N * N <= 2 * self.max_batch or N <= self.max_batch // N or True
+        # capacity precondition: at least one shifted copy of the array must
+        # fit a ciphertext (num_partition >= 1, sort_algo.h:371-416)
+        assert N <= self.max_batch, (
+            f"N={N} exceeds slot capacity {self.max_batch}"
+        )
         self.comp = Comparison(ev)
         self.ps = ChebyshevPS(ev)
         steps = sorted(rotation_indices_direct_sort(N, ev.ctx.params.ring_n))

@@ -62,13 +62,14 @@ class KWaySorter(SortBase):
     # -- stage plumbing (Sorter.cpp:180-282) ------------------------------
 
     def _check_boot(self, ct, required_level):
-        """checkLevelAndBoot parity."""
+        """checkLevelAndBoot parity (EvalUtils.cpp:57-86); a missing
+        bootstrap_fn is a no-op - the deep-insecure-parameter test mode."""
         if self.bootstrap_fn is None:
             return ct
-        depth = self.ev.ctx.params.mult_depth
-        if depth - ct.level < required_level + 1:
-            return self.bootstrap_fn(ct)
-        return ct
+        from .eval_utils import check_level_and_boot
+
+        return check_level_and_boot(self.ev, ct, required_level,
+                                    self.bootstrap_fn)
 
     def _right_rotate_for_sort(self, ct, indices, log_dist, slope):
         """Sorter.cpp:180-249: align comparison partners with wrap fixups.
@@ -104,7 +105,8 @@ class KWaySorter(SortBase):
 
     def _comparison_for_sort(self, ct, indices, log_dist, slope, cfg):
         ct_rot, fix = self._right_rotate_for_sort(ct, indices, log_dist, slope)
-        c = self.comp.compare(ct, ct_rot, SignFunc.CompositeSign, cfg)
+        c = self.comp.compare(ct, ct_rot, SignFunc.CompositeSign, cfg,
+                              bootstrap_fn=self.bootstrap_fn)
         return c, fix
 
     def _comparison_for_sort2(self, ct, indices, log_dist, slope, cfg):
@@ -112,8 +114,10 @@ class KWaySorter(SortBase):
         ct_rot2, _ = self._right_rotate_for_sort(
             ct_rot1, indices, log_dist, slope
         )
-        c1 = self.comp.compare(ct, ct_rot1, SignFunc.CompositeSign, cfg)
-        c2 = self.comp.compare(ct, ct_rot2, SignFunc.CompositeSign, cfg)
+        c1 = self.comp.compare(ct, ct_rot1, SignFunc.CompositeSign, cfg,
+                               bootstrap_fn=self.bootstrap_fn)
+        c2 = self.comp.compare(ct, ct_rot2, SignFunc.CompositeSign, cfg,
+                               bootstrap_fn=self.bootstrap_fn)
         return c1, c2, fix
 
     # -- per-size sorter runners (Sorter.cpp:8-178) -----------------------

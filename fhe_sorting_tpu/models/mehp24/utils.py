@@ -119,3 +119,66 @@ def combine_ciphertext(ev: Evaluator, rot: RotationComposer, parts,
     for i in range(1, len(parts)):
         out = ev.add(out, rot.rotate(parts[i], -i * sub_length))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev-approximated comparisons (mehp24_utils.cpp:105-156) + the
+# shifted indicator (:176-184) and the depth->degree table (:215-244)
+# ---------------------------------------------------------------------------
+
+
+def depth2degree(depth: int) -> int:
+    """mehp24_utils.cpp:215-244: largest Chebyshev degree OpenFHE's PS
+    evaluator fits in `depth` levels (used to pick comparison degrees)."""
+    table = {3: 2, 4: 5, 5: 13, 6: 27, 7: 59, 8: 119, 9: 247, 10: 495,
+             11: 1007, 12: 2031, 13: 4031, 14: 8127}
+    return table.get(depth, -1)
+
+
+def compare_cheb(ev: Evaluator, c1: Ciphertext, c2: Ciphertext, a: float,
+                 b: float, degree: int, error: float = 1e-5) -> Ciphertext:
+    """mehp24_utils.cpp:121-134: step(c1-c2) by Chebyshev fit on [a, b]."""
+    from ...ops.chebyshev import eval_chebyshev_function_ab
+
+    fn = lambda x: 1.0 if x > error else (0.5 if x >= -error else 0.0)
+    return eval_chebyshev_function_ab(ev, fn, ev.sub(c1, c2), degree, a, b)
+
+
+def equal_cheb(ev: Evaluator, c1: Ciphertext, c2: Ciphertext, a: float,
+               b: float, degree: int, error: float = 1e-5) -> Ciphertext:
+    """mehp24_utils.cpp:106-119: ~1_{c1 == c2}."""
+    from ...ops.chebyshev import eval_chebyshev_function_ab
+
+    fn = lambda x: 1.0 if -error <= x <= error else 0.0
+    return eval_chebyshev_function_ab(ev, fn, ev.sub(c1, c2), degree, a, b)
+
+
+def compare_gt_cheb(ev: Evaluator, c1: Ciphertext, c2: Ciphertext, a: float,
+                    b: float, degree: int, error: float = 1e-5) -> Ciphertext:
+    """mehp24_utils.cpp:143-156: strict ~1_{c1 > c2}."""
+    from ...ops.chebyshev import eval_chebyshev_function_ab
+
+    fn = lambda x: 1.0 if x > error else 0.0
+    return eval_chebyshev_function_ab(ev, fn, ev.sub(c1, c2), degree, a, b)
+
+
+def indicator_cheb(ev: Evaluator, c: Ciphertext, a1: float, b1: float,
+                   a: float, b: float, degree: int) -> Ciphertext:
+    """mehp24_utils.cpp:158-164: ~1_{a1 <= c <= b1} by direct fit."""
+    from ...ops.chebyshev import eval_chebyshev_function_ab
+
+    fn = lambda x: 0.0 if (x < a1 or x > b1) else 1.0
+    return eval_chebyshev_function_ab(ev, fn, c, degree, a, b)
+
+
+def indicator_adv_shifted(ev: Evaluator, c: Ciphertext, b: float,
+                          dg: int, df: int) -> Ciphertext:
+    """mehp24_utils.cpp:176-184: ~1_{-(b+1)/2 < c < ... } for rank inputs
+    already shifted to [-1, b]: s(2c/(b+1) + 2/(b+1) - 1) * s(-2c/(b+1)
+    + 2/(b+1) + 1)."""
+    from ...ops.sign import sign_adv
+
+    f = 2.0 / (b + 1.0)
+    c1 = ev.add(ev.mult(c, f), f - 1.0)
+    c2 = ev.add(ev.mult(c, -f), f + 1.0)
+    return ev.mult(sign_adv(ev, c1, dg, df), sign_adv(ev, c2, dg, df))

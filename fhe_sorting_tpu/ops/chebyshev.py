@@ -143,3 +143,17 @@ def eval_chebyshev_function(ev: Evaluator, fn, x: Ciphertext,
                             degree: int) -> Ciphertext:
     """Fit-and-evaluate (EvalChebyshevFunction parity)."""
     return ChebyshevPS(ev).evaluate(x, chebyshev_fit(fn, degree))
+
+
+def eval_chebyshev_function_ab(ev: Evaluator, fn, x: Ciphertext, degree: int,
+                               a: float, b: float) -> Ciphertext:
+    """EvalChebyshevFunction with an explicit [a, b] domain: fits fn on
+    [a, b], maps x affinely into [-1, 1] (one ct-scalar mult level, as
+    OpenFHE's linear transform inside EvalChebyshevSeries does), then PS."""
+    if (a, b) == (-1.0, 1.0):
+        return eval_chebyshev_function(ev, fn, x, degree)
+    mid, half = (a + b) / 2.0, (b - a) / 2.0
+    y = ev.mult(ev.sub(x, mid), 1.0 / half)
+    return ChebyshevPS(ev).evaluate(
+        y, chebyshev_fit(lambda t: fn(mid + half * t), degree)
+    )

@@ -16,12 +16,16 @@ class Comparison:
         self.ev = ev
 
     def compare(self, a: Ciphertext, b: Ciphertext, func: SignFunc,
-                cfg: SignConfig) -> Ciphertext:
-        """(sign(a-b)+1)/2: 1 if a>b, 0 if a<b, 0.5 on ties."""
+                cfg: SignConfig, bootstrap_fn=None,
+                post_scale: float = 0.5) -> Ciphertext:
+        """(sign(a-b)+1)*post_scale: with the default 0.5 this is 1 if a>b,
+        0 if a<b, 0.5 on ties (comparison.cpp:4-22).  Callers that would
+        immediately scale the result fold the factor into `post_scale` to
+        save a rescale level."""
         ev = self.ev
         diff = ev.sub(a, b)
-        s = sign(ev, diff, func, cfg)
-        return ev.mult(ev.add(s, 1.0), 0.5)
+        s = sign(ev, diff, func, cfg, bootstrap_fn=bootstrap_fn)
+        return ev.mult(ev.add(s, 1.0), post_scale)
 
     def indicator(self, x: Ciphertext, c: float, func: SignFunc,
                   cfg: SignConfig) -> Ciphertext:

@@ -14,8 +14,10 @@ plus the MEHP24 `signAdv` variant whose final f_3 iteration folds the
 (s+1)/2 affine map into halved coefficients (mehp24_utils.cpp:246-261).
 
 The driver applies dg iterations of g then df of f; `SignConfig.mult_depth`
-keeps the reference's "100 = no bootstrap" sentinel semantics (sign.h:28) -
-lazy bootstrapping hooks in once core/bootstrap.py lands.
+keeps the reference's "100 = no bootstrap" sentinel semantics (sign.h:28):
+when `mult_depth < 100` and a `bootstrap_fn` is supplied, the iteration loop
+refreshes the ciphertext lazily whenever the remaining depth cannot cover
+the next factor (sign.cpp:164-185 parity).
 """
 
 from __future__ import annotations
@@ -97,23 +99,41 @@ def eval_odd_poly15(ev: Evaluator, x: Ciphertext, coeffs) -> Ciphertext:
     return ev.add(y, ev.mult(t1, x8))
 
 
-def composite_sign(ev: Evaluator, x: Ciphertext, cfg: SignConfig) -> Ciphertext:
-    """sign(x) ~ f^{df} o g^{dg} (x); x in [-1, 1]."""
+def composite_sign(ev: Evaluator, x: Ciphertext, cfg: SignConfig,
+                   bootstrap_fn=None) -> Ciphertext:
+    """sign(x) ~ f^{df} o g^{dg} (x); x in [-1, 1].
+
+    Lazy bootstrap parity (sign.cpp:164-185): when `cfg.mult_depth` is a real
+    depth (not the 100 sentinel) and a `bootstrap_fn` is given, the iteration
+    loop refreshes `y` whenever the remaining depth cannot cover the next
+    polynomial factor plus the rescale needed to stay usable afterwards."""
     n, dg, df = cfg.compos.n, cfg.compos.dg, cfg.compos.df
+    if n == 3:
+        need_g = need_f = 3
+    elif n == 4:
+        need_g, need_f = 6, 4   # deg-27 Chebyshev PS / deg-15 odd poly
+    else:
+        raise ValueError(f"unsupported composite sign n={n}")
+
+    def maybe_boot(y: Ciphertext, need: int) -> Ciphertext:
+        if cfg.mult_depth >= 100 or bootstrap_fn is None:
+            return y
+        if cfg.mult_depth - y.level < need + 1:
+            y = bootstrap_fn(y)
+        return y
+
     y = x
     if n == 3:
         for _ in range(dg):
-            y = eval_odd_poly7(ev, y, G3)
+            y = eval_odd_poly7(ev, maybe_boot(y, need_g), G3)
         for _ in range(df):
-            y = eval_odd_poly7(ev, y, F3)
-    elif n == 4:
+            y = eval_odd_poly7(ev, maybe_boot(y, need_f), F3)
+    else:
         ps = ChebyshevPS(ev)
         for _ in range(dg):
-            y = ps.evaluate(y, G4_CHEB)
+            y = ps.evaluate(maybe_boot(y, need_g), G4_CHEB)
         for _ in range(df):
-            y = eval_odd_poly15(ev, y, F4)
-    else:
-        raise ValueError(f"unsupported composite sign n={n}")
+            y = eval_odd_poly15(ev, maybe_boot(y, need_f), F4)
     return y
 
 
@@ -153,10 +173,11 @@ def signum_polycircuit(ev: Evaluator, x: Ciphertext,
     return ChebyshevPS(ev).evaluate(x, signum_polycircuit_coeffs(degree))
 
 
-def sign(ev: Evaluator, x: Ciphertext, func: SignFunc, cfg: SignConfig) -> Ciphertext:
+def sign(ev: Evaluator, x: Ciphertext, func: SignFunc, cfg: SignConfig,
+         bootstrap_fn=None) -> Ciphertext:
     """Dispatcher (sign.cpp:635-651 parity)."""
     if func == SignFunc.CompositeSign:
-        return composite_sign(ev, x, cfg)
+        return composite_sign(ev, x, cfg, bootstrap_fn=bootstrap_fn)
     if func == SignFunc.SignumPolycircuit:
         return signum_polycircuit(ev, x)
     if func == SignFunc.NaiveDiscrete:

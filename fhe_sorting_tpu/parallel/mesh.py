@@ -8,8 +8,8 @@ equivalents are mesh axes:
              the MEHP24 pairwise-comparison triangle, k-way lane groups);
              pure data parallelism, accumulations become psums over ICI.
   "limb"  -- RNS limb planes (a tensor-parallel axis for NTT/key-switch;
-             base extension requires all-gathers along it).  Round 1 ships
-             the batch axis; the limb axis lands with the Pallas kernels.
+             base extension requires all-gathers along it; see
+             parallel/limb_parallel.py).
 """
 
 from __future__ import annotations
