@@ -218,35 +218,23 @@ tree_util.register_pytree_node(
 
 
 @dataclass(frozen=True)
-class DigitPlan:
-    """ModUp tables for one hybrid digit at one level.
+class KeySwitchPlan:
+    """Everything key switching needs at a fixed ciphertext level.
 
-    The base extension out[t] = sum_i fac[i,t] * y[i] mod p_t runs as an
-    MXU digit matmul (cf. core/ntt_mxu.py): `ext_dT` holds the [T, alpha]
-    factor matrix as 4 balanced s8 digit planes.
+    ModUp runs as ONE `lax.scan` over the hybrid digits (keeping the
+    compiled graph a single digit body instead of dnum unrolled copies):
+    the per-limb (D'_j/q_i)^{-1} factors are stored as one [Ll, 1] vector
+    applied before the scan, and the per-digit CRT base-extension factor
+    matrices are zero-padded to a uniform [D, 4, T, alpha] stack (the MXU
+    digit-matmul form, cf. core/ntt_mxu.py: out[t] = sum_i fac[i,t] y[i]
+    mod p_t; padded source limbs contribute 0).
     """
 
-    limb_lo: int                     # static: first limb index of the digit
-    limb_hi: int                     # static: one past last limb index
-    dhat_inv: jnp.ndarray            # [alpha, 1] (D'_j/q_i)^{-1} mod q_i
-    dhat_inv_shoup: jnp.ndarray
-    ext_dT: jnp.ndarray              # [4, T, alpha] s8 digit planes
-
-
-tree_util.register_pytree_node(
-    DigitPlan,
-    lambda c: ((c.dhat_inv, c.dhat_inv_shoup, c.ext_dT),
-               (c.limb_lo, c.limb_hi)),
-    lambda aux, ch: DigitPlan(aux[0], aux[1], *ch),
-)
-
-
-@dataclass(frozen=True)
-class KeySwitchPlan:
-    """Everything key switching needs at a fixed ciphertext level."""
-
-    digits: tuple                    # tuple[DigitPlan]
+    alpha: int                       # static: limbs per digit (last padded)
     target_idx: tuple                # static global prime indices (Q_l + P)
+    dhat_inv: jnp.ndarray            # [Ll, 1] per-limb (D'_j/q_i)^{-1} mod q_i
+    dhat_inv_shoup: jnp.ndarray
+    dig_ext_dT: jnp.ndarray          # [D, 4, T, alpha] s8 digit planes
     # ModDown (divide by P) tables:
     phat_inv: jnp.ndarray            # [K, 1]
     phat_inv_shoup: jnp.ndarray
@@ -257,10 +245,11 @@ class KeySwitchPlan:
 
 tree_util.register_pytree_node(
     KeySwitchPlan,
-    lambda c: ((c.digits, c.phat_inv, c.phat_inv_shoup, c.pext_dT,
+    lambda c: ((c.dhat_inv, c.dhat_inv_shoup, c.dig_ext_dT,
+                c.phat_inv, c.phat_inv_shoup, c.pext_dT,
                 c.p_inv_mod_qi, c.p_inv_mod_qi_shoup),
-               (c.target_idx,)),
-    lambda aux, ch: KeySwitchPlan(ch[0], aux[0], *ch[1:]),
+               (c.alpha, c.target_idx)),
+    lambda aux, ch: KeySwitchPlan(aux[0], aux[1], *ch),
 )
 
 
@@ -402,38 +391,30 @@ class Context:
         target_idx = tuple(range(Ll)) + tuple(
             range(self.num_q, self.num_q + self.num_sp)
         )
-        digits = []
+        from .ntt_mxu import _balanced_digits_host
+
+        alpha = -(-self.num_q // self.params.dnum)
+        dhat_inv_all = np.zeros((Ll,), dtype=np.uint64)
+        dhat_inv_sh = np.zeros((Ll,), dtype=np.uint32)
+        ext_stack = []
         for (lo, hi) in self.digit_layout(level):
             dp = active[lo:hi]
             D = 1
             for p in dp:
                 D *= p
             dhat = [D // p for p in dp]
-            dhat_inv = np.array(
-                [pow(dhat[i], -1, dp[i]) for i in range(len(dp))], dtype=np.uint64
-            )
-            ext = np.zeros((len(dp), len(target_primes)), dtype=np.uint64)
+            for i in range(len(dp)):
+                inv = pow(dhat[i], -1, dp[i])
+                dhat_inv_all[lo + i] = inv
+                dhat_inv_sh[lo + i] = host_shoup(np.uint64(inv), dp[i])
+            ext = np.zeros((alpha, len(target_primes)), dtype=np.uint64)
             for i in range(len(dp)):
                 for t, pt in enumerate(target_primes):
                     ext[i, t] = dhat[i] % pt
             # digit-matmul bound: the recombination's group sums must stay
             # below every target prime (cf. ntt_mxu._mm_mod)
             assert 4 * 128 * 128 * len(dp) < min(target_primes)
-            from .ntt_mxu import _balanced_digits_host
-
-            digits.append(
-                DigitPlan(
-                    limb_lo=lo,
-                    limb_hi=hi,
-                    dhat_inv=jnp.asarray(dhat_inv.astype(np.uint32)[:, None]),
-                    dhat_inv_shoup=jnp.asarray(
-                        np.stack(
-                            [host_shoup(dhat_inv[i], dp[i]) for i in range(len(dp))]
-                        )[:, None]
-                    ),
-                    ext_dT=jnp.asarray(_balanced_digits_host(ext.T)),
-                )
-            )
+            ext_stack.append(_balanced_digits_host(ext.T))  # [4, T, alpha]
 
         # ModDown: P -> active Q
         K = self.num_sp
@@ -450,8 +431,11 @@ class Context:
 
         pinv = np.array([pow(self.P, -1, q) for q in active], dtype=np.uint64)
         return KeySwitchPlan(
-            digits=tuple(digits),
+            alpha=alpha,
             target_idx=target_idx,
+            dhat_inv=jnp.asarray(dhat_inv_all.astype(np.uint32)[:, None]),
+            dhat_inv_shoup=jnp.asarray(dhat_inv_sh[:, None]),
+            dig_ext_dT=jnp.asarray(np.stack(ext_stack)),
             phat_inv=jnp.asarray(phat_inv.astype(np.uint32)[:, None]),
             phat_inv_shoup=jnp.asarray(
                 np.stack(

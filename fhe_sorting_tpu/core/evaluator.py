@@ -445,24 +445,32 @@ class Evaluator:
     # -- key switching -----------------------------------------------------
 
     def _modup(self, d_limb: jnp.ndarray, level: int, dev: DevState):
-        """Hybrid ModUp: [Ll, n] eval -> per-digit extended [T, n] eval.
+        """Hybrid ModUp: [Ll, n] eval -> stacked per-digit extended
+        [D, T, n] eval.
 
         The CRT base extension runs as an MXU digit matmul
-        (ntt_mxu.mod_matmul_digits): out[t] = sum_i fac[i,t] y[i] mod p_t."""
+        (ntt_mxu.mod_matmul_digits): out[t] = sum_i fac[i,t] y[i] mod p_t.
+        The digit loop is a `lax.scan` over zero-padded uniform digit blocks
+        (one compiled body regardless of digit count)."""
         from .ntt_mxu import _balanced_digits_dev, mod_matmul_digits
 
         plan = dev.ks_plans[level]
-        t_active, _ = self._active(dev, level)
+        t_active, pc_a = self._active(dev, level)
         t_target, pc_t = self._target(dev, level)
         d_coeff = nttm.intt(d_limb[None], t_active)[0]
-        out = []
-        for dp in plan.digits:
-            pc_d = _pc_slice(dev.pc, dp.limb_lo, dp.limb_hi)
-            y = shoup_mulmod(d_coeff[dp.limb_lo : dp.limb_hi], dp.dhat_inv,
-                             dp.dhat_inv_shoup, pc_d.p)
-            acc = mod_matmul_digits(dp.ext_dT, _balanced_digits_dev(y),
+        y = shoup_mulmod(d_coeff, plan.dhat_inv, plan.dhat_inv_shoup, pc_a.p)
+        D, alpha = plan.dig_ext_dT.shape[0], plan.alpha
+        n = y.shape[-1]
+        ypad = jnp.pad(y, ((0, D * alpha - y.shape[0]), (0, 0)))
+        yblocks = ypad.reshape(D, alpha, n)
+
+        def body(carry, xs):
+            yd, ext = xs
+            acc = mod_matmul_digits(ext, _balanced_digits_dev(yd),
                                     pc_t.p, pc_t.sh256)
-            out.append(nttm.ntt(acc[None], t_target)[0])
+            return carry, nttm.ntt(acc, t_target)
+
+        _, out = jax.lax.scan(body, None, (yblocks, plan.dig_ext_dT))
         return out
 
     def _ksk_rows(self, ksk: KeySwitchKey, level: int):
@@ -476,19 +484,25 @@ class Evaluator:
 
     def _inner_product(self, digits, level: int, ksk: KeySwitchKey,
                        dev: DevState):
+        """digits: stacked [D, T, n].  One batched mulmod per key half,
+        then a log-free modular fold over the (small) digit axis."""
         _, pc_t = self._target(dev, level)
         kb, ka = self._ksk_rows(ksk, level)
-        acc0 = acc1 = None
-        for j, ext in enumerate(digits):
-            t0 = barrett_mulmod(ext, kb[j], pc_t.p, pc_t.r2_32,
-                                pc_t.r2_32_shoup, pc_t.p_inv32)
-            t1 = barrett_mulmod(ext, ka[j], pc_t.p, pc_t.r2_32,
-                                pc_t.r2_32_shoup, pc_t.p_inv32)
-            acc0 = t0 if acc0 is None else add_mod(acc0, t0, pc_t.p)
-            acc1 = t1 if acc1 is None else add_mod(acc1, t1, pc_t.p)
+        D = digits.shape[0]
+        t0 = barrett_mulmod(digits, kb[:D], pc_t.p[None], pc_t.r2_32[None],
+                            pc_t.r2_32_shoup[None], pc_t.p_inv32[None])
+        t1 = barrett_mulmod(digits, ka[:D], pc_t.p[None], pc_t.r2_32[None],
+                            pc_t.r2_32_shoup[None], pc_t.p_inv32[None])
+        acc0, acc1 = t0[0], t1[0]
+        for j in range(1, D):
+            acc0 = add_mod(acc0, t0[j], pc_t.p)
+            acc1 = add_mod(acc1, t1[j], pc_t.p)
         return acc0, acc1
 
     def _moddown(self, c: jnp.ndarray, level: int, dev: DevState) -> jnp.ndarray:
+        """Exact division by P.  c: [..., Ll+K, n] -> [..., Ll, n]; leading
+        axes are merged into the coefficient axis around the CRT matmul so
+        one graph serves both key-switch halves."""
         from .ntt_mxu import _balanced_digits_dev, mod_matmul_digits
 
         ctx = self.ctx
@@ -496,13 +510,16 @@ class Evaluator:
         Ll = ctx.limbs_at(level)
         t_active, pc_a = self._active(dev, level)
         t_sp, pc_sp = self._special(dev)
-        cq = c[:Ll]
-        cp = c[Ll:]
-        cp_coeff = nttm.intt(cp[None], t_sp)[0]
+        cq = c[..., :Ll, :]
+        cp = c[..., Ll:, :]
+        cp_coeff = nttm.intt(cp, t_sp)
         y = shoup_mulmod(cp_coeff, plan.phat_inv, plan.phat_inv_shoup, pc_sp.p)
-        acc = mod_matmul_digits(plan.pext_dT, _balanced_digits_dev(y),
+        *lead, K, n = y.shape
+        y2 = jnp.moveaxis(y, -2, 0).reshape(K, -1)
+        acc = mod_matmul_digits(plan.pext_dT, _balanced_digits_dev(y2),
                                 pc_a.p, pc_a.sh256)
-        ext_eval = nttm.ntt(acc[None], t_active)[0]
+        acc = jnp.moveaxis(acc.reshape(Ll, *lead, n), 0, -2)
+        ext_eval = nttm.ntt(acc, t_active)
         num = sub_mod(cq, ext_eval, pc_a.p)
         return shoup_mulmod(num, plan.p_inv_mod_qi, plan.p_inv_mod_qi_shoup,
                             pc_a.p)
@@ -511,7 +528,8 @@ class Evaluator:
                         dev: DevState):
         digits = self._modup(d_limb, level, dev)
         acc0, acc1 = self._inner_product(digits, level, ksk, dev)
-        return self._moddown(acc0, level, dev), self._moddown(acc1, level, dev)
+        e = self._moddown(jnp.stack([acc0, acc1]), level, dev)
+        return e[0], e[1]
 
     # -- rotations ---------------------------------------------------------
 
@@ -553,7 +571,7 @@ class Evaluator:
                              ksk: KeySwitchKey, dev: DevState) -> Ciphertext:
         """sigma_g(ModUp(x)) = ModUp(sigma_g(x)) up to gadget-annihilated
         extension noise, so the permutation applies to the extended digits."""
-        digits = [ext[:, perm] for ext in pre]
+        digits = pre[:, :, perm]
         acc0, acc1 = self._inner_product(digits, a.level, ksk, dev)
         e0 = self._moddown(acc0, a.level, dev)
         e1 = self._moddown(acc1, a.level, dev)
