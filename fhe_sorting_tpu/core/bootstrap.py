@@ -44,13 +44,19 @@ import jax.numpy as jnp
 class Bootstrapper:
     def __init__(self, ev: Evaluator, slots: int | None = None,
                  K: float = 25.0, sin_degree: int = 255,
-                 level_budget: tuple = (1, 1)):
+                 level_budget: tuple = (1, 1), asin_terms: int = 0):
         self.ev = ev
         ctx = ev.ctx
         n = ctx.params.ring_n
         nh = n // 2
-        self.slots = slots or nh
-        assert self.slots == nh, "bootstrap currently requires full packing"
+        # Sparse packing (slots < n/2): this framework's encode tiles the
+        # slot vector to full packing (encoding.py:47-59, the SetSlots
+        # re-interpretation), so a sparsely packed ciphertext IS a full
+        # ciphertext whose slot vector is periodic.  The full-packing
+        # transforms preserve that periodicity slot-wise, so sparse
+        # bootstrap = full bootstrap + slots-metadata restore at the end
+        # (OpenFHE's s-dim sparse path is a performance variant of this).
+        self.slots = nh
         assert ctx.params.comp == 1, (
             "bootstrap ModRaise is single-prime for now (comp=1)"
         )
@@ -75,6 +81,12 @@ class Bootstrapper:
         self.sin_coeffs = chebyshev_fit(
             lambda v: np.sin(2 * np.pi * K * v) / (2 * np.pi), sin_degree
         )
+        # Small-angle correction: sin distorts the message by
+        # sin(2 pi m)/(2 pi) = m - (2 pi)^2 m^3/6 + ...; inverting with the
+        # arcsine series y + (2 pi)^2 y^3/6 + 3 (2 pi)^4 y^5/40 pushes the
+        # residual to O(m^5)/O(m^7) (OpenFHE's sparse-secret correction
+        # counterpart; enables message ranges well beyond |m| << 1/2 pi).
+        self.asin_terms = asin_terms
         self.ps = ChebyshevPS(ev)
 
     # ------------------------------------------------------------------
@@ -111,6 +123,22 @@ class Bootstrapper:
         data = nttm.ntt(ext, t_all)
         return Ciphertext(data, 0, 1, ct.slots)
 
+    def _eval_mod(self, v: Ciphertext) -> Ciphertext:
+        """sin(2 pi K v)/(2 pi) with `asin_terms` arcsine correction terms."""
+        ev = self.ev
+        y = self.ps.evaluate(v, self.sin_coeffs)
+        if self.asin_terms == 0:
+            return y
+        w = (2.0 * np.pi) ** 2
+        # m ~ y * (1 + y^2 * (w/6 + y^2 * 3 w^2/40)), Horner in y^2
+        t = ev.square(y)
+        if self.asin_terms >= 2:
+            inner = ev.add(ev.mult(t, 3.0 * w * w / 40.0), w / 6.0)
+            poly = ev.add(ev.mult(inner, t), 1.0)
+        else:
+            poly = ev.add(ev.mult(t, w / 6.0), 1.0)
+        return ev.mult(y, poly)
+
     def bootstrap(self, ct: Ciphertext, msg_scale_down: float | None = None
                   ) -> Ciphertext:
         """Refresh `ct` to a low level.  |message| must be < 0.5 (callers
@@ -119,6 +147,7 @@ class Bootstrapper:
         ev = self.ev
         ctx = ev.ctx
         nh = self.slots
+        slots_in = ct.slots  # sparse inputs ride the full-packing pipeline
 
         if msg_scale_down:
             ct = ev.mult(ct, 1.0 / msg_scale_down)
@@ -126,7 +155,7 @@ class Bootstrapper:
         if ct.sdeg == 2:
             ct = ev.rescale(ct)
         s_bottom = float(ctx.scale_dec(ct.level))
-        ct1 = Ciphertext(ct.data[:, :1, :], ct.level, 1, ct.slots)
+        ct1 = Ciphertext(ct.data[:, :1, :], ct.level, 1, nh)
 
         raised = self._mod_raise(ct1)
 
@@ -140,9 +169,9 @@ class Bootstrapper:
             ev.sub(u, uc), np.full(nh, -0.5j)
         )                                                      # c_hi_br / q0
 
-        # EvalMod: v = u / K, then sin series
-        m1 = self.ps.evaluate(ev.mult(u1, 1.0 / self.K), self.sin_coeffs)
-        m2 = self.ps.evaluate(ev.mult(u2, 1.0 / self.K), self.sin_coeffs)
+        # EvalMod: v = u / K, then sin series (+ optional arcsine correction)
+        m1 = self._eval_mod(ev.mult(u1, 1.0 / self.K))
+        m2 = self._eval_mod(ev.mult(u2, 1.0 / self.K))
 
         # SlotsToCoeffs: pack m1 + i m2, then the forward factored chain
         m1, m2 = ev.align_group([m1, m2])
@@ -165,4 +194,4 @@ class Bootstrapper:
             out = lt.apply(out)
         if msg_scale_down:
             out = ev.mult(out, msg_scale_down)
-        return out
+        return Ciphertext(out.data, out.level, out.sdeg, slots_in)

@@ -24,6 +24,7 @@ from . import ntt as nttm
 from .cipher import Ciphertext
 from .context import Context
 from .encoding import coeffs_to_residues, encode_coeffs
+from .modmath import add_mod, neg_mod, reduce_u32
 
 
 def _host_ntt_all(ctx: Context, res: np.ndarray, prime_idx) -> np.ndarray:
@@ -107,40 +108,92 @@ class Keys:
         keys.gen_relin_key(rng)
         return keys
 
-    def _gen_ksk(self, target_eval: np.ndarray, rng) -> KeySwitchKey:
-        """target_eval: s' residues [Lq+K, n] u64 eval domain."""
+    def _gadget_residues(self) -> np.ndarray:
+        """Per-digit hybrid gadget residues [dnum, Lq+K] u32 (host bigints)."""
         ctx = self.ctx
-        n = ctx.params.ring_n
-        all_p = ctx.all_primes
-        Ltot = len(all_p)
-        layout = ctx.digit_layout(0)  # full-chain digit partition
-        dnum = len(layout)
+        layout = ctx.digit_layout(0)
         Q = 1
         for p in ctx.q_primes:
             Q *= p
-        kb = np.zeros((dnum, Ltot, n), dtype=np.uint64)
-        ka = np.zeros_like(kb)
+        out = np.zeros((len(layout), len(ctx.all_primes)), dtype=np.uint32)
         for j, (lo, hi) in enumerate(layout):
             D = 1
             for p in ctx.q_primes[lo:hi]:
                 D *= p
             QhatD = Q // D
             g_big = ctx.P * QhatD * pow(QhatD, -1, D)
-            e = np.rint(rng.normal(0, ctx.params.sigma, size=n)).astype(np.int64)
-            e_eval = _host_ntt_all(ctx, coeffs_to_residues(e, all_p), range(Ltot))
-            for i, p in enumerate(all_p):
-                P64 = np.uint64(p)
-                aij = rng.integers(0, p, size=n, dtype=np.uint64)
-                ka[j, i] = aij
-                gp = np.uint64(g_big % p)
-                kb[j, i] = (
-                    (P64 - aij) * self.s_eval[i] % P64
-                    + e_eval[i]
-                    + gp * target_eval[i] % P64
-                ) % P64
-        return KeySwitchKey(
-            kb=jnp.asarray(kb.astype(np.uint32)), ka=jnp.asarray(ka.astype(np.uint32))
-        )
+            out[j] = np.array(
+                [g_big % p for p in ctx.all_primes], dtype=np.uint64
+            ).astype(np.uint32)
+        return out
+
+    def _ksk_kernel_factory(self):
+        """One jitted device program shared by every KSK generation.
+
+        kb[j] = -a_j * s + e_j + g_j * s'  over all Q*P primes, with the
+        uniform a_j drawn on-device (two u32 bit-planes combined mod p:
+        statistical distance < 2^-32 from uniform) and the noise NTT'd
+        on-device.  All per-key heavy lifting is pointwise [dnum, L, n]
+        modmul - MXU/VPU work instead of the former host numpy loop."""
+        import jax
+        from .modmath import barrett_mulmod as bm
+
+        ctx = self.ctx
+
+        def kernel(s_dev, target_dev, gres, e_host, key, tables, pc):
+            p = pc.p[None]                       # [1, Ltot, 1]
+            mm = lambda x, y: bm(x, y, p, pc.r2_32[None],
+                                 pc.r2_32_shoup[None], pc.p_inv32[None])
+            # noise residues -> eval domain
+            e = e_host[:, None, :]               # [dnum, 1, n] int32
+            e_res = jnp.where(e < 0, p - (-e).astype(jnp.uint32),
+                              e.astype(jnp.uint32))
+            e_eval = nttm.ntt(e_res, tables)
+            # uniform a mod p from two u32 planes
+            dnum, Ltot = gres.shape
+            n = s_dev.shape[-1]
+            hi, lo = jax.random.bits(key, (2, dnum, Ltot, n), jnp.uint32)
+            lo = reduce_u32(lo, p, pc.p_inv32[None])
+            # 2^32 mod p == (2^32 - p) mod p == (0 - p) in u32, reduced
+            two32 = reduce_u32(jnp.uint32(0) - pc.p[None], p, pc.p_inv32[None])
+            a = add_mod(mm(hi, two32), lo, p)
+            ka = a
+            kb = add_mod(mm(neg_mod(a, p), s_dev[None]), e_eval, p)
+            kb = add_mod(kb, mm(gres[:, :, None].astype(jnp.uint32),
+                                target_dev[None]), p)
+            return kb, ka
+
+        return jax.jit(kernel)
+
+    @property
+    def _s_dev(self):
+        if getattr(self, "_s_dev_arr", None) is None:
+            self._s_dev_arr = jnp.asarray(self.s_eval.astype(np.uint32))
+        return self._s_dev_arr
+
+    def _gen_ksk(self, target_eval, rng) -> KeySwitchKey:
+        """target_eval: s' residues [Lq+K, n] eval domain (u64 host array or
+        u32 device array)."""
+        import jax
+
+        ctx = self.ctx
+        n = ctx.params.ring_n
+        Ltot = len(ctx.all_primes)
+        if isinstance(target_eval, np.ndarray):
+            target_dev = jnp.asarray(target_eval.astype(np.uint32))
+        else:
+            target_dev = target_eval
+        if getattr(self, "_ksk_kernel", None) is None:
+            self._ksk_kernel = self._ksk_kernel_factory()
+            self._gres = jnp.asarray(self._gadget_residues())
+        dnum = self._gres.shape[0]
+        e = np.rint(rng.normal(0, ctx.params.sigma, size=(dnum, n))
+                    ).astype(np.int32)
+        key = jax.random.PRNGKey(int(rng.integers(0, 2**63)))
+        tables = ctx.tables.slice(0, Ltot)
+        kb, ka = self._ksk_kernel(self._s_dev, target_dev, self._gres,
+                                  jnp.asarray(e), key, tables, ctx.pc)
+        return KeySwitchKey(kb=kb, ka=ka)
 
     def gen_relin_key(self, rng=None):
         rng = rng or np.random.default_rng(1)
@@ -154,16 +207,14 @@ class Keys:
             g = self.ctx.galois_element_rot(r)
             if g in self.rot or g == 1:
                 continue
-            perm = np.asarray(self.ctx.galois_perm(g))
-            s_g = self.s_eval[:, perm]
+            s_g = self._s_dev[:, self.ctx.galois_perm(g)]
             self.rot[g] = self._gen_ksk(s_g, rng)
 
     def gen_conj_key(self, seed: int = 3):
         g = 2 * self.ctx.params.ring_n - 1
         if g not in self.rot:
-            perm = np.asarray(self.ctx.galois_perm(g))
-            self.rot[g] = self._gen_ksk(self.s_eval[:, perm],
-                                        np.random.default_rng(seed))
+            s_g = self._s_dev[:, self.ctx.galois_perm(g)]
+            self.rot[g] = self._gen_ksk(s_g, np.random.default_rng(seed))
 
     def available_rotations(self):
         return set(self.rot.keys())

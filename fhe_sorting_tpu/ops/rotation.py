@@ -179,26 +179,68 @@ class RotationComposer:
         return out
 
 
+class _TreeNode:
+    """One rotation-prefix node: cached rotated ciphertext + lazily created
+    hoisted ModUp precompute shared by all children (rotation.h:242-251)."""
+
+    __slots__ = ("step", "children", "ct", "pre")
+
+    def __init__(self, step: int):
+        self.step = step
+        self.children: dict = {}
+        self.ct: Ciphertext | None = None
+        self.pre = None
+
+
 class RotationTree:
-    """Hoisting-and-caching rotator over a rotation range
-    (rotation.h:240-358 parity: per-node ciphertext cache + one hoisted
-    precompute amortized across all requested rotations)."""
+    """Shared-prefix rotation tree (rotation.h:240-358 parity).
+
+    Rotations are decomposed into keyed steps; decompositions sharing a step
+    prefix share the intermediate rotated ciphertexts (per-node cache,
+    rotation.h:337-357), and every node amortizes ONE hoisted ModUp
+    precompute (EvalFastRotationPrecompute parity) over all of its children.
+    Unlike the reference's |step|>2 heuristic, hoisting is unconditional
+    here: on TPU a hoisted rotation replaces the per-rotation ModUp with the
+    shared one at identical cost even for a single child, so it never
+    loses."""
 
     def __init__(self, composer: RotationComposer):
         self.comp = composer
-        self._cache = {}
-        self._pre = None
-        self._base = None
+        self.root = _TreeNode(0)
 
-    def build(self, ct: Ciphertext):
-        self._base = ct
-        self._pre = self.comp.ev.rotate_precompute(ct)
-        self._cache = {0: ct}
+    def build(self, ct: Ciphertext, rotations=None):
+        """Anchor the tree at `ct` (buildTree parity: `rotations` may
+        pre-register a range so shared prefixes are discovered up front;
+        registration is otherwise lazy on first rotate)."""
+        self.root = _TreeNode(0)
+        self.root.ct = ct
+        for r in rotations or ():
+            self._parts(r)  # validates keyed decompositions exist
+        return self
+
+    def _parts(self, r: int):
+        r = r % self.comp.wrap
+        if r == 0:
+            return []
+        if self.comp._has_key(r):
+            return [r]
+        return self.comp.dec.decompose(r)
 
     def rotate(self, r: int) -> Ciphertext:
-        r = r % self.comp.wrap
-        if r in self._cache:
-            return self._cache[r]
-        out = self.comp.rotate_hoisted(self._base, self._pre, r)
-        self._cache[r] = out
-        return out
+        """Rotate the anchored ciphertext by r, reusing every cached
+        shared-prefix intermediate (treeRotate parity)."""
+        assert self.root.ct is not None, "RotationTree.build(ct) first"
+        self.comp.stats.record(r)
+        node = self.root
+        for step in self._parts(r):
+            child = node.children.get(step)
+            if child is None:
+                child = _TreeNode(step)
+                node.children[step] = child
+            if child.ct is None:
+                if node.pre is None:
+                    node.pre = self.comp.ev.rotate_precompute(node.ct)
+                child.ct = self.comp.ev.rotate_hoisted(node.ct, node.pre, step)
+                self.comp.stats.fast_rotations += 1
+            node = child
+        return node.ct

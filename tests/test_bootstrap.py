@@ -89,6 +89,24 @@ def test_bootstrap_level_budget_2(env):
     np.testing.assert_allclose(got, z, atol=2e-2)
 
 
+def test_bootstrap_sparse_packing(env):
+    """Sparse (slots < n/2) bootstrap: encode tiles the slot vector, so the
+    full-packing pipeline refreshes it; slots metadata survives.  Parity:
+    OpenFHE EvalBootstrap with slots=16 as the k-way sorts use it."""
+    ctx, keys, ev = env
+    bs = Bootstrapper(ev, K=13.0, sin_degree=127)
+    keys.gen_rotation_keys(sorted(bs.required_rotations()))
+    rng = np.random.default_rng(7)
+    z = rng.uniform(-0.2, 0.2, 16)
+    ct = keys.encrypt(z, slots=16)
+    ct_low = ev.level_reduce(ct, ctx.params.mult_depth - 1)
+    out = bs.bootstrap(ct_low)
+    assert out.slots == 16
+    assert out.level < ct_low.level
+    got = keys.decrypt(out, 16)
+    np.testing.assert_allclose(got, z, atol=2e-2)
+
+
 @pytest.mark.slow
 def test_bootstrap_end_to_end(env):
     ctx, keys, ev = env

@@ -133,6 +133,22 @@ def test_rotation_tree_hoisted(ctx16):
     for r in [1, 2, 3, 5, 8]:
         got = keys.decrypt(tree.rotate(r))
         np.testing.assert_allclose(got, np.roll(x, -r), atol=2e-4, err_msg=f"r={r}")
+    # shared-prefix caching: r=3 -> [(-1),4] or [1,2]-style paths; repeating
+    # the same rotations must not add any new key-switches
+    before = rot.stats.fast_rotations
+    for r in [3, 5, 8, 1]:
+        got = keys.decrypt(tree.rotate(r))
+        np.testing.assert_allclose(got, np.roll(x, -r), atol=2e-4)
+    assert rot.stats.fast_rotations == before
+    # composed rotations that share a prefix reuse the cached intermediate:
+    # with positive-only keys, 6 -> [4, 2] and 7 -> [4, 2, 1] share [4, 2]
+    tree2 = RotationTree(RotationComposer(ev, [1, 2, 4, 8, 16], wrap=64))
+    tree2.build(ct)
+    tree2.rotate(6)
+    n_after_6 = tree2.comp.stats.fast_rotations
+    got = keys.decrypt(tree2.rotate(7))  # only the final step 1 is new
+    np.testing.assert_allclose(got, np.roll(x, -7), atol=2e-4)
+    assert tree2.comp.stats.fast_rotations == n_after_6 + 1
 
 
 def test_depth_meter_predicts_exactly():
