@@ -67,6 +67,11 @@ class CkksParams:
     ksk_shoup: bool = False      # store Shoup tables for KSK limbs (2x mem)
     secret_hamming: int | None = None  # sparse ternary secret (bootstrapping)
     ntt_impl: str = "auto"       # "auto" | "butterfly" | "mxu" (four-step)
+    first_mod_bits: int | None = None  # bottom-prime size (OpenFHE
+    #   FirstModSize counterpart, kway_adapter.h:52): a q0 well above Delta
+    #   lets full-range messages ModRaise without a pre-scale (bootstrap on
+    #   level-exhausted ciphertexts) and shrinks the EvalMod argument
+    #   m*Delta/q0.  Max 30 on the u32 chain (31 breaks lazy reduction).
 
     def __post_init__(self):
         assert self.scale_bits % self.comp == 0, (self.scale_bits, self.comp)
@@ -148,6 +153,24 @@ def _choose_prime_chain(params: CkksParams):
         scales.append(s * s / prod)
 
     base = [take_nearest(unit) for _ in range(params.base_limbs)]
+    if params.first_mod_bits is not None:
+        # replace limb 0 with an NTT prime near 2^first_mod_bits (scan
+        # downward; the around-Delta pool never reaches this size).  Capped
+        # at 30: primes within a bit of 2^31 break the u32 lazy-reduction
+        # headroom in modmath (empirically: decrypt blows up at fmb=31).
+        assert params.first_mod_bits <= 30, (
+            "first_mod_bits > 30 exceeds the u32 chain's headroom")
+        k = (1 << params.first_mod_bits) // m
+        q0 = None
+        while k > 0:
+            cand = k * m + 1
+            if cand < 2**31 and cand not in used and primes_mod.is_prime(cand):
+                q0 = cand
+                break
+            k -= 1
+        assert q0 is not None, "no NTT prime near 2^first_mod_bits"
+        used.add(q0)
+        base[0] = q0
     # limb order: base primes at the bottom, then scaling primes such that
     # the *last* limb is dropped first (within a level, in lvl_primes order:
     # the level's first-listed prime occupies the outermost limb).
@@ -271,6 +294,7 @@ class Context:
                 # enough special primes to cover the largest digit
                 -(-params.num_q // params.dnum),
                 skip=sp_pool_skip,
+                exclude=tuple(self.q_primes),
             )
         )
         assert not (set(self.sp_primes) & set(self.q_primes))

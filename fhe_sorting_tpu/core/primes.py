@@ -40,14 +40,17 @@ def is_prime(n: int) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def ntt_primes(ring_n: int, bit_size: int, count: int, skip: int = 0) -> tuple:
+def ntt_primes(ring_n: int, bit_size: int, count: int, skip: int = 0,
+               exclude=()) -> tuple:
     """`count` primes p = 1 (mod 2*ring_n) closest below 2**bit_size.
 
     `skip` skips the first few candidates so that disjoint prime sets can be
-    drawn for scaling vs. special moduli at the same bit size.
+    drawn for scaling vs. special moduli at the same bit size; `exclude`
+    rejects specific primes already used elsewhere in the chain.
     """
     assert bit_size <= 31, "u32 arithmetic requires primes < 2^31"
     m = 2 * ring_n
+    excl = set(exclude)
     out = []
     # Largest candidate of the form k*m + 1 below 2^bit_size.
     k = (2**bit_size - 2) // m
@@ -59,7 +62,7 @@ def ntt_primes(ring_n: int, bit_size: int, count: int, skip: int = 0) -> tuple:
             raise ValueError(
                 f"not enough {bit_size}-bit NTT primes for ring 2^{ring_n}"
             )
-        if is_prime(cand):
+        if is_prime(cand) and cand not in excl:
             if skipped < skip:
                 skipped += 1
                 continue

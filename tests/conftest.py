@@ -19,7 +19,10 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: FHE circuits retrace the same (level, sdeg)
 # op combinations across test runs; caching compiles cuts the dev loop a lot.
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Same directory as bench.py / __graft_entry__ (keys include the platform,
+# so CPU test compiles and TPU bench compiles coexist without collisions).
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)

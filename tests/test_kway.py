@@ -104,3 +104,49 @@ def test_kway_k5_m2_sort(env):
     cfg = SignConfig(CompositeSignConfig(3, 2, 2))
     out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
     assert np.abs(out - np.sort(x)).max() < 0.01
+
+
+# -- bootstrap-in-sort (EvalUtils.cpp:57-86 + sign.cpp:164-185 parity) -----
+
+
+@pytest.fixture(scope="module")
+def boot_env():
+    from fhe_sorting_tpu.core.bootstrap import Bootstrapper
+
+    # first_mod_bits=30: q0/Delta = 4 so [0,1] messages ModRaise with no
+    # pre-scale - the bootstrap can take level-exhausted ciphertexts
+    ctx = Context(CkksParams(ring_n=256, mult_depth=28, secret_hamming=64,
+                             first_mod_bits=30))
+    keys = Keys.generate(ctx, seed=0)
+    keys.gen_conj_key()
+    ev = Evaluator(ctx, keys)
+    bs = Bootstrapper(ev, K=13.0, sin_degree=127, asin_terms=2)
+    keys.gen_rotation_keys(sorted(
+        bs.required_rotations()
+        | {1 << i for i in range(8)} | {-(1 << i) for i in range(8)}
+    ))
+    return ctx, keys, ev, bs
+
+
+def test_kway_sort_with_real_bootstrap(boot_env):
+    """k-way sort at a depth too shallow to finish without refreshing:
+    checkLevelAndBoot fires our own Bootstrapper mid-sort and the result
+    still meets the <0.01 contract (EvalUtilsTest.cpp:132-190 +
+    Sorter.cpp:316 parity, with a real bootstrap instead of OpenFHE's)."""
+    ctx, keys, ev, bs = boot_env
+    fired = []
+
+    def bfn(ct):
+        fired.append(ct.level)
+        return bs.bootstrap(ct)
+
+    k, M = 2, 2
+    N = k ** M
+    x = vector_with_min_diff(N, seed=3)
+    ct = keys.encrypt(x, slots=N)
+    srt = KWaySorter(ev, k, M, bootstrap_fn=bfn)
+    cfg = SignConfig(CompositeSignConfig(3, 1, 1),
+                     mult_depth=ctx.params.mult_depth)
+    out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
+    assert len(fired) >= 1, "no bootstrap fired - depth budget too deep"
+    assert np.abs(out - np.sort(x)).max() < 0.01

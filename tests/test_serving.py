@@ -70,12 +70,45 @@ def test_facade(capsys):
     assert "level" in capsys.readouterr().out
 
 
+def _golden_target(fixture):
+    """Expected sorted vector for the FHERMA fixture, preferring `output`.
+
+    The upstream golden `output` (reference src/testcase.json) is internally
+    inconsistent with its own `input`: 121 entries for a 128-element input,
+    and the value multisets disagree (e.g. 13 surplus 245.67 entries).  When
+    (if) upstream ships a self-consistent output we compare against it
+    directly; until then the plaintext sort of `input` is the only
+    well-defined contract, and test_fherma_fixture_consistency pins the
+    known inconsistency so a fixed fixture flips us to the golden path.
+    """
+    x = np.asarray(fixture["input"], dtype=np.float64)
+    golden = np.asarray(fixture["output"], dtype=np.float64)
+    expected = np.sort(x)
+    if len(golden) == len(x) and np.allclose(np.sort(golden), expected):
+        return golden
+    return expected
+
+
+def test_fherma_fixture_consistency():
+    """Document the upstream fixture's output/input mismatch (see above)."""
+    with open(os.path.join(FIXTURES, "fherma_testcase.json")) as f:
+        fixture = json.load(f)
+    golden = np.asarray(fixture["output"], dtype=np.float64)
+    assert np.all(np.diff(golden) >= 0), "golden output must be sorted"
+    target = _golden_target(fixture)
+    if len(golden) == len(fixture["input"]):
+        np.testing.assert_allclose(target, golden)  # upstream fixed it
+    else:
+        assert len(golden) == 121  # known-inconsistent upstream snapshot
+
+
 @pytest.mark.slow
 def test_fherma_golden_vector():
     """N=128 FHERMA input sorted under encryption (insecure fast ring)."""
     with open(os.path.join(FIXTURES, "fherma_testcase.json")) as f:
         fixture = json.load(f)
     x = np.asarray(fixture["input"], dtype=np.float64) / 255.0
+    target = _golden_target(fixture) / 255.0
 
     ring, depth, N = 8192, 34, 128
     ctx = Context(CkksParams(ring_n=ring, mult_depth=depth))
@@ -86,4 +119,4 @@ def test_fherma_golden_vector():
     srt = DirectSort(ev, N)
     cfg = SignConfig(CompositeSignConfig(4, 3, 3))
     out = keys.decrypt(srt.sort(keys.encrypt(x), SignFunc.CompositeSign, cfg), N)
-    assert np.abs(out - np.sort(x)).max() < 0.01
+    assert np.abs(out - target).max() < 0.01
