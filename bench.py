@@ -1,18 +1,23 @@
-"""End-to-round benchmark: encrypted sort wall-clock on the real TPU chip.
+"""End-of-round benchmark: encrypted sort wall-clock on the real TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N, ...}
 
 Baseline: the only complete end-to-end numbers the reference publishes are
-the k-way k=2 10-trial means at 128-bit security, ring 2^17
-(BASELINE.md: N=128 -> 2485.52 s, N=16 -> 472.66 s on an unspecified CPU).
-We benchmark our flagship DirectSort at matching array size and comparable
-security (>= 128-bit for the modulus we carry) and report
-vs_baseline = baseline_seconds / our_seconds (speedup factor; algorithms
-differ - DirectSort is the reference's own headline algorithm, whose runs
-the reference left unrecorded).
+the k-way k=2 10-trial means at HEStd_128_classic, ring 2^17
+(BASELINE.md: N=128 -> 2485.52 s on an unspecified CPU).  We benchmark our
+flagship DirectSort at the SAME ring dimension (2^17) with a modulus chain
+verified against the 128-bit logQP budget (HomomorphicEncryption.org table
+as extended by OpenFHE: logQP <= 3524 bits at n = 2^17), so the comparison
+is at matching security.  vs_baseline = baseline_seconds / our_seconds
+(speedup factor; algorithms differ - DirectSort is the reference's own
+headline algorithm, whose runs the reference left unrecorded).
 
-Usage: python bench.py [--n 128] [--ring 65536] [--depth 34] [--trials 1]
+The JSON line also carries `logqp_bits` (+ the budget it must stay under)
+and `pct_of_sol` - measured wall-clock as a percentage of the single-chip
+speed-of-light bound accumulated per-op by utils/roofline.py.
+
+Usage: python bench.py [--n 128] [--ring 131072] [--depth N] [--trials 1]
 """
 
 from __future__ import annotations
@@ -26,9 +31,14 @@ import time
 BASELINE_S = {4: 89.34, 8: 249.99, 16: 472.66, 32: 911.74, 64: 1292.26,
               128: 2485.52, 256: 3846.34, 512: 4625.21, 1024: 5732.39}
 
+# 128-bit classic budget for uniform-ternary secrets, logQP bits per ring_n
+# (HomomorphicEncryption.org standard + OpenFHE's extension to large rings)
+LOGQP_128 = {2048: 54, 4096: 109, 8192: 218, 16384: 438, 32768: 881,
+             65536: 1772, 131072: 3524}
+
 
 def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
-        df: int, comp: int = 2, dnum: int = 3):
+        df: int, comp: int = 2, dnum: int = 3, verbose: bool = True):
     import os
 
     import jax
@@ -52,6 +62,7 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
     from fhe_sorting_tpu.ops.sign import (
         CompositeSignConfig, SignConfig, SignFunc,
     )
+    from fhe_sorting_tpu.utils import roofline
 
     t0 = time.time()
     # composite scaling: Delta = 2^56 from u32 prime pairs - the noise
@@ -61,16 +72,27 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
         scale_bits=56 if comp == 2 else 28, comp=comp,
         base_limbs=4 if comp == 2 else 2, dnum=dnum,
     ))
+    import math
+
+    logqp = sum(math.log2(p) for p in ctx.all_primes)
+    budget = LOGQP_128.get(ring)
+    sec_ok = budget is not None and logqp <= budget
+    print(f"# security: ring 2^{ring.bit_length()-1}, logQP = {logqp:.0f} "
+          f"bits vs 128-bit budget {budget} -> "
+          f"{'OK (>=128-bit classic)' if sec_ok else 'INSECURE'}",
+          file=sys.stderr)
+
     keys = Keys.generate(ctx, seed=0)
     # exactly the keys DirectSort requests (computed registry) - each KSK is
-    # ~190 MB at this depth, so no speculative extras
+    # ~290 MB at this depth, so no speculative extras
     steps = rotation_indices_direct_sort(n_arr, ring)
     keys.gen_rotation_keys(sorted(steps))
     ev = Evaluator(ctx, keys)
     srt = DirectSort(ev, n_arr)
     cfg = SignConfig(CompositeSignConfig(cn, dg, df))
     print(f"# setup {time.time()-t0:.1f}s (ring {ring}, depth {depth}, "
-          f"Lq={ctx.num_q}, K={ctx.num_sp})", file=sys.stderr)
+          f"Lq={ctx.num_q}, K={ctx.num_sp}, {len(keys.rot)} rot keys)",
+          file=sys.stderr)
 
     rng = np.random.default_rng(0)
     vals = rng.permutation(n_arr) / n_arr + 0.5 / n_arr
@@ -84,23 +106,48 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
     print(f"# warm-up (incl. compile): {warm:.1f}s", file=sys.stderr)
 
     times = []
+    phases = []
     for _ in range(trials):
+        ev.op_stats.clear()
         t0 = time.time()
-        out = srt.sort(ct, SignFunc.CompositeSign, cfg)
+        rank = srt.construct_rank(ct, SignFunc.CompositeSign, cfg)
+        rank.data.block_until_ready()
+        t1 = time.time()
+        out = srt.rotation_index_check_n(rank, ct)
         out.data.block_until_ready()
-        times.append(time.time() - t0)
+        t2 = time.time()
+        times.append(t2 - t0)
+        phases.append((t1 - t0, t2 - t1))
     best = min(times)
+    bi = times.index(best)
+    print(f"# phases: constructRank {phases[bi][0]:.2f}s, "
+          f"rotationIndexCheck {phases[bi][1]:.2f}s", file=sys.stderr)
+
+    # roofline: % of single-chip speed-of-light for the measured run
+    sol_s, breakdown = roofline.accumulate_sol(ctx, ev.op_stats)
+    pct = 100.0 * sol_s / best
+    if verbose:
+        tot_ops = sum(ev.op_stats.values())
+        print(f"# roofline: SoL bound {sol_s:.2f}s over {tot_ops} ops -> "
+              f"{pct:.1f}% of speed-of-light", file=sys.stderr)
+        for kind, s in sorted(breakdown.items(), key=lambda kv: -kv[1]):
+            print(f"#   {kind:12s} SoL {s:.3f}s", file=sys.stderr)
+        rs = getattr(srt.rot, "stats", None)
+        if rs is not None:
+            print(f"# rotation stats: rotations={rs.rotations} "
+                  f"fast={rs.fast_rotations} composed={rs.composed}",
+                  file=sys.stderr)
 
     got = keys.decrypt(out, n_arr)
     err = float(np.abs(got - np.sort(vals)).max())
     print(f"# max sort error: {err:.2e}", file=sys.stderr)
-    return best, err
+    return best, err, logqp, budget, sec_ok, pct
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=128)
-    ap.add_argument("--ring", type=int, default=65536)
+    ap.add_argument("--ring", type=int, default=131072)
     ap.add_argument("--depth", type=int, default=None,
                     help="mult depth; default: measured by the depth meter")
     ap.add_argument("--trials", type=int, default=1)
@@ -134,9 +181,9 @@ def main():
         print(f"# depth meter: mult_depth {args.depth} "
               f"({m['ct_mults_and_rotations'][0]} ct-mults)", file=sys.stderr)
 
-    best, err = run(args.n, args.ring, args.depth, args.trials,
-                    args.cn, args.dg, args.df, comp=args.comp,
-                    dnum=args.dnum)
+    best, err, logqp, budget, sec_ok, pct = run(
+        args.n, args.ring, args.depth, args.trials,
+        args.cn, args.dg, args.df, comp=args.comp, dnum=args.dnum)
     base = BASELINE_S.get(args.n)
     print(json.dumps({
         "metric": f"directsort_n{args.n}_ring{args.ring}_wall_clock",
@@ -144,8 +191,13 @@ def main():
         "unit": "s",
         "vs_baseline": round(base / best, 2) if base else None,
         "max_error": err,
+        "logqp_bits": round(logqp, 1),
+        "logqp_128bit_budget": budget,
+        "security_128bit": sec_ok,
+        "pct_of_sol": round(pct, 1),
         "baseline_ref_s": base,
-        "baseline_src": "kway_k2 total_results.txt (reference CPU)",
+        "baseline_src": "kway_k2 total_results.txt (reference CPU, "
+                        "HEStd_128_classic ring 2^17)",
     }))
 
 

@@ -90,6 +90,10 @@ class Evaluator:
         self.ctx = ctx
         self.keys = keys
         self.jit_ops = jit_ops
+        # logical-op counter for roofline accounting (utils/roofline.py):
+        # (op, level) -> count, incremented at Python dispatch (trace) time.
+        from collections import Counter
+        self.op_stats: Counter = Counter()
         # Plaintext-encode memo: sort graphs re-request the same masks every
         # call (trace time), and each encode costs an embedding FFT + CRT +
         # host NTT + H2D copy.  LRU-bounded by entries AND device bytes (a
@@ -121,6 +125,7 @@ class Evaluator:
             self._jit_rot = jax.jit(self._automorphism_impl)
             self._jit_rot_pre = jax.jit(self._rotate_precompute_impl)
             self._jit_rot_hoist = jax.jit(self._rotate_hoisted_impl)
+            self._jit_combo = jax.jit(self._combo_impl)
 
     # -- trace-time helpers ------------------------------------------------
 
@@ -239,6 +244,7 @@ class Evaluator:
         return a.with_data(neg_mod(a.data, pc.p[None]))
 
     def add(self, a: Ciphertext, b) -> Ciphertext:
+        self.op_stats[("add", a.level)] += 1
         if isinstance(b, Ciphertext):
             f = self._jit_add_ct if self.jit_ops else self._add_ct_impl
             return f(a, b, self._dev)
@@ -250,6 +256,7 @@ class Evaluator:
         return f(a, sc, self._dev)
 
     def sub(self, a: Ciphertext, b) -> Ciphertext:
+        self.op_stats[("add", a.level)] += 1
         if isinstance(b, Ciphertext):
             f = self._jit_sub_ct if self.jit_ops else self._sub_ct_impl
             return f(a, b, self._dev)
@@ -355,6 +362,7 @@ class Evaluator:
         return self._rescale_impl(a, dev)
 
     def rescale(self, a: Ciphertext) -> Ciphertext:
+        self.op_stats[("rescale", a.level)] += 1
         f = self._jit_rescale if self.jit_ops else self._rescale_full
         return f(a, self._dev)
 
@@ -367,16 +375,20 @@ class Evaluator:
 
     def mult(self, a: Ciphertext, b) -> Ciphertext:
         if isinstance(b, Ciphertext):
+            le = max(a.level + (a.sdeg == 2), b.level + (b.sdeg == 2))
+            self.op_stats[("mult_ct", le)] += 1
             f = self._jit_mult_ct if self.jit_ops else self._mult_ct_impl
             return f(a, b, self.keys.relin, self._dev)
         if isinstance(b, Plaintext):
             if a.sdeg == 2:
                 a = self.rescale(a)
+            self.op_stats[("mult_pt", a.level)] += 1
             f = self._jit_mult_pt if self.jit_ops else self._mult_plain_impl
             return f(a, b, self._dev)
         # scalar: pre-rescale on the host side so the residues match
         if a.sdeg == 2:
             a = self.rescale(a)
+        self.op_stats[("mult_pt", a.level)] += 1
         sc = self._scalar_limbs(float(b), a.level, self.ctx.scale(a.level, 1))
         f = self._jit_mult_sc if self.jit_ops else self._mult_scalar_impl
         return f(a, sc, self._dev)
@@ -439,6 +451,7 @@ class Evaluator:
         )
 
     def square(self, a: Ciphertext) -> Ciphertext:
+        self.op_stats[("mult_ct", a.level + (a.sdeg == 2))] += 1
         f = self._jit_square if self.jit_ops else self._square_impl
         return f(a, self.keys.relin, self._dev)
 
@@ -550,11 +563,13 @@ class Evaluator:
         nh = self.ctx.params.ring_n // 2
         if r % nh == 0:
             return a
+        self.op_stats[("rot", a.level)] += 1
         perm, ksk = self._rot_args(self.ctx.galois_element_rot(r))
         f = self._jit_rot if self.jit_ops else self._automorphism_impl
         return f(a, perm, ksk, self._dev)
 
     def conjugate(self, a: Ciphertext) -> Ciphertext:
+        self.op_stats[("rot", a.level)] += 1
         perm, ksk = self._rot_args(2 * self.ctx.params.ring_n - 1)
         f = self._jit_rot if self.jit_ops else self._automorphism_impl
         return f(a, perm, ksk, self._dev)
@@ -564,6 +579,7 @@ class Evaluator:
 
     def rotate_precompute(self, a: Ciphertext):
         """Hoisted ModUp of c1 (EvalFastRotationPrecompute parity)."""
+        self.op_stats[("rot_pre", a.level)] += 1
         f = self._jit_rot_pre if self.jit_ops else self._rotate_precompute_impl
         return f(a, self._dev)
 
@@ -583,9 +599,79 @@ class Evaluator:
         nh = self.ctx.params.ring_n // 2
         if r % nh == 0:
             return a
+        self.op_stats[("rot_hoisted", a.level)] += 1
         perm, ksk = self._rot_args(self.ctx.galois_element_rot(r))
         f = self._jit_rot_hoist if self.jit_ops else self._rotate_hoisted_impl
         return f(a, pre, perm, ksk, self._dev)
+
+    # -- batched linear combinations ---------------------------------------
+
+    def _combo_impl(self, stacked, coeff_res, const_res, dev):
+        """out[r] = sum_b coeff[r,b] * ct[b] (+ const[r]), all mod q_i.
+
+        stacked  [B, 2, L, n] u32  - B ciphertexts at one (level, sdeg=1)
+        coeff_res [L, R, B]   u32  - per-limb scalar residues (traced, so
+                                     distinct coefficient sets share a compile)
+        const_res [R, L, 1]   u32  - additive constants at scale(level, 2)
+
+        Lowered as ONE per-limb modular matmul [R,B] @ [B,2n] on the MXU
+        (ntt_mxu._mm_mod digit planes) instead of R*B scalar-mult dispatches -
+        this is what keeps Paterson-Stockmeyer's giant-step segment evaluation
+        (ops/chebyshev.py) from dominating dispatch and HBM at large N.
+        """
+        from .ntt_mxu import _balanced_digits_dev, _mm_mod
+
+        B, two, L, n = stacked.shape
+        level = (self.ctx.num_q - L) // self.ctx.params.comp
+        _, pc = self._active(dev, level)
+        x = jnp.moveaxis(stacked, 2, 0).reshape(L, B, two * n)
+        out = _mm_mod(_balanced_digits_dev(coeff_res),
+                      _balanced_digits_dev(x),
+                      pc.p[:, :, None], pc.sh256[:, :, None])
+        out = jnp.moveaxis(out.reshape(L, -1, two, n), 0, 2)   # [R, 2, L, n]
+        d0 = add_mod(out[:, 0], const_res, pc.p[None])
+        return jnp.stack([d0, out[:, 1]], axis=1)
+
+    def combo(self, cts, rows, consts) -> list:
+        """Batched Sum_b rows[r][b]*cts[b] + consts[r] -> R ciphertexts.
+
+        cts are aligned to a common (level, sdeg=1) first (costing the same
+        depth the old per-term path consumed); outputs are sdeg 2.
+        """
+        assert len(cts) >= 1
+        tgt = max(c.level + (1 if c.sdeg == 2 else 0) for c in cts)
+        aligned = []
+        for c in cts:
+            if c.sdeg == 2:
+                c = self.rescale(c)
+            if c.level < tgt:
+                c = self.adjust_level(c, tgt)
+            aligned.append(c)
+        lvl = tgt
+        Ll = self.ctx.limbs_at(lvl)
+        rows = np.asarray(rows, dtype=np.float64)
+        consts = np.asarray(consts, dtype=np.float64)
+        R, B = rows.shape
+        assert B == len(cts) and consts.shape == (R,)
+        ps = np.array(self.ctx.q_primes[:Ll], dtype=object)
+        s1 = self.ctx.scale(lvl, 1)
+        m = np.rint(rows * s1).astype(np.int64)          # |c| small, fits
+        coeff_res = (m[None, :, :] % ps[:, None, None].astype(np.int64))
+        coeff_res = coeff_res.astype(np.uint32)           # [L, R, B]
+        s2 = self.ctx.scale_dec(lvl) ** 2
+        const_res = np.zeros((R, Ll), dtype=np.uint32)
+        for r in range(R):
+            if consts[r] != 0.0:
+                mi = int(consts[r] * float(s2))
+                for i in range(Ll):
+                    const_res[r, i] = mi % int(ps[i])
+        self.op_stats[("combo", lvl, B, R)] += 1
+        stacked = jnp.stack([c.data for c in aligned])
+        f = self._jit_combo if self.jit_ops else self._combo_impl
+        out = f(stacked, jnp.asarray(coeff_res),
+                jnp.asarray(const_res[:, :, None]), self._dev)
+        slots = aligned[0].slots
+        return [Ciphertext(out[r], lvl, 2, slots) for r in range(R)]
 
     # -- misc --------------------------------------------------------------
 

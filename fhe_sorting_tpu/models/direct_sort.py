@@ -259,15 +259,18 @@ class DirectSort(SortBase):
         # cannot push the argument outside [-1, 1] where T_deg explodes
         stretch = 1.0 + 4.0 / N
         coeffs = doubled_sinc_coefficients(N, stretch=stretch)
+        # scale into the Chebyshev domain ONCE (each batch then subtracts a
+        # pre-scaled plaintext checking vector - saves num_batch-1 rescales)
+        alpha = 1.0 / (2.0 * N * stretch)
+        index_minus_rank = ev.mult(index_minus_rank, alpha)
         out = None
         for b in range(num_batch):
             check = self._checking_vector_n(num_slots, b * num_partition)
             rot_index = ev.sub(
                 index_minus_rank,
-                ev.make_plaintext(check, index_minus_rank.level,
+                ev.make_plaintext(check * alpha, index_minus_rank.level,
                                   index_minus_rank.sdeg, slots=num_slots),
             )
-            rot_index = ev.mult(rot_index, 1.0 / (2.0 * N * stretch))
             rot_index = self.ps.evaluate(rot_index, coeffs)
             masked = ev.mult(rot_index, input2)
             pre = ev.rotate_precompute(masked)
@@ -326,15 +329,16 @@ class DirectSort(SortBase):
 
         stretch = 1.0 + 4.0 / N
         coeffs = sinc_coefficients(N, stretch=stretch)
+        alpha = 1.0 / (2.0 * N * stretch)
+        index_minus_rank = ev.mult(index_minus_rank, alpha)
         out = None
         for b in range(num_batch):
             check = self._checking_vector_2n(num_slots, b * group)
             rot_index = ev.sub(
                 index_minus_rank,
-                ev.make_plaintext(check, index_minus_rank.level,
+                ev.make_plaintext(check * alpha, index_minus_rank.level,
                                   index_minus_rank.sdeg, slots=num_slots),
             )
-            rot_index = ev.mult(rot_index, 1.0 / (2.0 * N * stretch))
             rot_index = self.ps.evaluate(rot_index, coeffs)
             masked = ev.mult(rot_index, input2)
             pre = ev.rotate_precompute(masked)

@@ -62,47 +62,89 @@ class ChebyshevPS:
         # baby-step count: power of two near sqrt(d) (power of two keeps the
         # giant-step ladder a pure doubling chain)
         k = 1 << max(1, int(round(np.log2(max(d, 2) ** 0.5))))
+        # doubling identities cost ONE level each: the factor 2 is a
+        # self-addition (free), never a scalar multiply (which would force an
+        # extra rescale level - OpenFHE's EvalChebyshevSeriesPS likewise
+        # doubles by EvalAdd)
+        def dbl(c: Ciphertext) -> Ciphertext:
+            return ev.add(c, c)
+
         babies = {1: x}
         for i in range(2, k + 1):
             if i % 2 == 0:
                 half = babies[i // 2]
                 # T_{2m} = 2 T_m^2 - 1
-                babies[i] = ev.sub(ev.mult(ev.square(half), 2.0), 1.0)
+                babies[i] = ev.sub(dbl(ev.square(half)), 1.0)
             else:
                 a, b = babies[(i + 1) // 2], babies[i // 2]
                 # T_{m+n} = 2 T_m T_n - T_{m-n};  here m-n = 1
-                babies[i] = ev.sub(ev.mult(ev.mult(a, b), 2.0), x)
+                babies[i] = ev.sub(dbl(ev.mult(a, b)), x)
 
         giants = {k: babies[k]}
         g = k
         while 2 * g <= d:
-            giants[2 * g] = ev.sub(ev.mult(ev.square(giants[g]), 2.0), 1.0)
+            giants[2 * g] = ev.sub(dbl(ev.square(giants[g])), 1.0)
             g *= 2
 
-        def eval_rec(cc: np.ndarray) -> Ciphertext:
+        # Pass 1 (host, numpy): build the divmod tree, collecting every
+        # degree<=k segment as a "leaf" row.
+        leaves: list = []
+
+        def plan(cc: np.ndarray):
             cc = _trim(cc)
             deg = len(cc) - 1
             if deg == 0:
                 # constant quotient: caller multiplies the giant-step T_g by
                 # the scalar instead of a ciphertext
-                return float(cc[0])
+                return ("const", float(cc[0]))
             if deg <= k:
-                return self._linear_combo(cc, babies)
+                leaves.append(cc)
+                return ("leaf", len(leaves) - 1)
             gg = k
             while 2 * gg <= deg:
                 gg *= 2
             q, r = _cheb_divmod_tn(cc, gg)
-            qc = eval_rec(q)
+            qn = plan(q)
+            rr = _trim(r)
+            rn = plan(rr) if (len(rr) > 1 or rr[0] != 0.0) else None
+            return ("node", gg, qn, rn)
+
+        root = plan(c)
+
+        # Pass 2: ONE batched modular matmul evaluates every leaf segment
+        # (sum_i c_i T_i over the shared baby steps) - ~d scalar-mult
+        # dispatches collapse into a single MXU op (Evaluator.combo).
+        leaf_cts: list = []
+        if leaves:
+            rows = np.zeros((len(leaves), k), dtype=np.float64)
+            consts = np.zeros(len(leaves), dtype=np.float64)
+            for i, cc in enumerate(leaves):
+                rows[i, : len(cc) - 1] = cc[1:]
+                consts[i] = cc[0]
+            combo = getattr(ev, "combo", None)
+            if combo is not None:
+                leaf_cts = combo([babies[i] for i in range(1, k + 1)],
+                                 rows, consts)
+            else:
+                leaf_cts = [self._linear_combo(cc, babies) for cc in leaves]
+
+        def fold(node) -> Ciphertext:
+            if node[0] == "const":
+                return node[1]
+            if node[0] == "leaf":
+                return leaf_cts[node[1]]
+            _, gg, qn, rn = node
+            qc = fold(qn)
             if isinstance(qc, float):
                 out = ev.mult(giants[gg], qc)
             else:
                 out = ev.mult(qc, giants[gg])
-            rr = _trim(r)
-            if len(rr) > 1 or rr[0] != 0.0:
-                out = ev.add(out, eval_rec(r) if len(rr) > 1 else rr[0])
+            if rn is not None:
+                rv = fold(rn)
+                out = ev.add(out, rv)
             return out
 
-        return eval_rec(c)
+        return fold(root)
 
     def _linear_combo(self, cc: np.ndarray, babies) -> Ciphertext:
         """sum_i c_i T_i(x) for deg <= k using precomputed baby steps."""

@@ -24,17 +24,20 @@ class Comparison:
         save a rescale level."""
         ev = self.ev
         diff = ev.sub(a, b)
-        s = sign(ev, diff, func, cfg, bootstrap_fn=bootstrap_fn)
-        return ev.mult(ev.add(s, 1.0), post_scale)
+        # (s+1)*ps = ps*s + ps: the ps factor folds into the final sign
+        # iteration's coefficients (free), leaving only a scalar add
+        s = sign(ev, diff, func, cfg, bootstrap_fn=bootstrap_fn,
+                 final_scale=post_scale)
+        return ev.add(s, post_scale)
 
     def indicator(self, x: Ciphertext, c: float, func: SignFunc,
                   cfg: SignConfig) -> Ciphertext:
         """~1_{|x| < c} from two signs (comparison.cpp:24-40)."""
         ev = self.ev
-        s1 = sign(ev, ev.add(x, c), func, cfg)
-        s2 = sign(ev, ev.sub(x, c), func, cfg)
-        c1 = ev.mult(ev.add(s1, 1.0), 0.5)
-        c2 = ev.mult(ev.add(s2, 1.0), 0.5)
+        s1 = sign(ev, ev.add(x, c), func, cfg, final_scale=0.5)
+        s2 = sign(ev, ev.sub(x, c), func, cfg, final_scale=0.5)
+        c1 = ev.add(s1, 0.5)
+        c2 = ev.add(s2, 0.5)
         return ev.mult(c1, ev.rsub(1.0, c2))
 
     def indicator_adv(self, x: Ciphertext, b: float, dg: int, df: int) -> Ciphertext:

@@ -100,13 +100,19 @@ def eval_odd_poly15(ev: Evaluator, x: Ciphertext, coeffs) -> Ciphertext:
 
 
 def composite_sign(ev: Evaluator, x: Ciphertext, cfg: SignConfig,
-                   bootstrap_fn=None) -> Ciphertext:
+                   bootstrap_fn=None, final_scale: float = 1.0) -> Ciphertext:
     """sign(x) ~ f^{df} o g^{dg} (x); x in [-1, 1].
 
     Lazy bootstrap parity (sign.cpp:164-185): when `cfg.mult_depth` is a real
     depth (not the 100 sentinel) and a `bootstrap_fn` is given, the iteration
     loop refreshes `y` whenever the remaining depth cannot cover the next
-    polynomial factor plus the rescale needed to stay usable afterwards."""
+    polynomial factor plus the rescale needed to stay usable afterwards.
+
+    `final_scale` multiplies the LAST iteration's coefficients, returning
+    final_scale * sign(x) without the extra rescale level a separate scalar
+    multiply would cost (the generalization of MEHP24's halved-coefficient
+    signAdv trick, mehp24_utils.cpp:246-261) - Comparison.compare folds its
+    post_scale here."""
     n, dg, df = cfg.compos.n, cfg.compos.dg, cfg.compos.df
     if n == 3:
         need_g = need_f = 3
@@ -122,18 +128,35 @@ def composite_sign(ev: Evaluator, x: Ciphertext, cfg: SignConfig,
             y = bootstrap_fn(y)
         return y
 
+    def scaled(coeffs, is_last: bool):
+        if not is_last or final_scale == 1.0:
+            return coeffs
+        return tuple(c * final_scale for c in coeffs)
+
+    total = dg + df
+    if total == 0:
+        return ev.mult(x, final_scale) if final_scale != 1.0 else x
+    it = 0
     y = x
     if n == 3:
         for _ in range(dg):
-            y = eval_odd_poly7(ev, maybe_boot(y, need_g), G3)
+            it += 1
+            y = eval_odd_poly7(ev, maybe_boot(y, need_g),
+                               scaled(G3, it == total))
         for _ in range(df):
-            y = eval_odd_poly7(ev, maybe_boot(y, need_f), F3)
+            it += 1
+            y = eval_odd_poly7(ev, maybe_boot(y, need_f),
+                               scaled(F3, it == total))
     else:
         ps = ChebyshevPS(ev)
         for _ in range(dg):
-            y = ps.evaluate(maybe_boot(y, need_g), G4_CHEB)
+            it += 1
+            y = ps.evaluate(maybe_boot(y, need_g),
+                            scaled(G4_CHEB, it == total))
         for _ in range(df):
-            y = eval_odd_poly15(ev, maybe_boot(y, need_f), F4)
+            it += 1
+            y = eval_odd_poly15(ev, maybe_boot(y, need_f),
+                                scaled(F4, it == total))
     return y
 
 
@@ -174,10 +197,16 @@ def signum_polycircuit(ev: Evaluator, x: Ciphertext,
 
 
 def sign(ev: Evaluator, x: Ciphertext, func: SignFunc, cfg: SignConfig,
-         bootstrap_fn=None) -> Ciphertext:
-    """Dispatcher (sign.cpp:635-651 parity)."""
+         bootstrap_fn=None, final_scale: float = 1.0) -> Ciphertext:
+    """Dispatcher (sign.cpp:635-651 parity).  `final_scale` scales the result
+    for free by folding into the last polynomial's coefficients."""
     if func == SignFunc.CompositeSign:
-        return composite_sign(ev, x, cfg, bootstrap_fn=bootstrap_fn)
+        return composite_sign(ev, x, cfg, bootstrap_fn=bootstrap_fn,
+                              final_scale=final_scale)
+    if final_scale != 1.0:
+        return ev.mult(
+            sign(ev, x, func, cfg, bootstrap_fn=bootstrap_fn), final_scale
+        )
     if func == SignFunc.SignumPolycircuit:
         return signum_polycircuit(ev, x)
     if func == SignFunc.NaiveDiscrete:

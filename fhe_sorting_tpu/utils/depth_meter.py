@@ -144,6 +144,17 @@ class MeterEvaluator:
                        slots: int | None = None) -> Plaintext:
         return Plaintext(None, level, sdeg, slots or 0)
 
+    def combo(self, cts, rows, consts):
+        """Mirror of Evaluator.combo's level discipline: align all inputs to
+        (max level incl. pending rescales, sdeg 1), outputs at sdeg 2."""
+        import numpy as np
+
+        tgt = max(c.level + (1 if c.sdeg == 2 else 0) for c in cts)
+        self.max_level = max(self.max_level, tgt)
+        R = np.asarray(rows).shape[0]
+        self.mults += R
+        return [Ciphertext(None, tgt, 2, cts[0].slots) for _ in range(R)]
+
     def add_many(self, cts) -> Ciphertext:
         out = cts[0]
         for c in cts[1:]:

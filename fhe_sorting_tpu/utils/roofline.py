@@ -122,6 +122,71 @@ def rescale(n: int, limbs: int, comp: int) -> KernelCost:
     return KernelCost("rescale", b, m)
 
 
+def modup(n: int, limbs: int, num_sp: int, dnum_active: int,
+          alpha: int) -> KernelCost:
+    """Hoisted-rotation precompute: per digit INTT(alpha) + base-ext matmul
+    + NTT(T) (the ModUp half of `keyswitch`)."""
+    T = limbs + num_sp
+    k1 = ntt_fourstep(n, dnum_active * alpha)
+    k2 = ntt_fourstep(n, dnum_active * T)
+    ext_macs = 16 * n * dnum_active * T * alpha
+    return KernelCost("modup", k1.bytes_hbm + k2.bytes_hbm + ext_macs / 64,
+                      k1.macs_mxu + k2.macs_mxu + ext_macs)
+
+
+def elementwise(n: int, limbs: int, polys: int = 2,
+                passes: float = 3.0) -> KernelCost:
+    """HBM-bound limb-plane op (add/mult_pt/mult_sc): read+write passes."""
+    return KernelCost("elementwise", passes * polys * limbs * n * 4, 0)
+
+
+def combo_cost(n: int, limbs: int, B: int, R: int) -> KernelCost:
+    """Batched PS segment matmul (Evaluator.combo): read B cts + digit temps,
+    write R results; MXU work 16 digit-pair [R,B]@[B,2n] matmuls per limb."""
+    data = (2 * B + 2 * R) * 2 * limbs * n * 4
+    macs = 16 * limbs * R * B * 2 * n
+    return KernelCost("combo", data, macs)
+
+
+def accumulate_sol(ctx, op_stats, chip: ChipSpec = V5E):
+    """Sum speed-of-light seconds over an Evaluator.op_stats counter.
+
+    Returns (total_sol_seconds, per-op-kind breakdown dict).  This is the
+    wiring BASELINE.md's north star asks for: measured wall-clock divided by
+    this bound = % of speed-of-light."""
+    n = ctx.params.ring_n
+    comp = ctx.params.comp
+    total = 0.0
+    breakdown: dict = {}
+
+    def add(kind: str, cost: KernelCost, count: int = 1):
+        nonlocal total
+        s = cost.sol_seconds(chip) * count
+        total += s
+        breakdown[kind] = breakdown.get(kind, 0.0) + s
+
+    for key, cnt in op_stats.items():
+        op, lvl = key[0], key[1]
+        lvl = min(lvl, ctx.params.mult_depth)
+        L, K, D, alpha = ks_geometry(ctx, lvl)
+        if op == "mult_ct":
+            add(op, ct_mult(n, L, K, D, alpha), cnt)
+        elif op in ("rot", "rot_hoisted"):
+            ks = keyswitch(n, L, K, D, alpha)
+            add(op, KernelCost(op, ks.bytes_hbm + 3 * 2 * L * n * 4,
+                               ks.macs_mxu), cnt)
+        elif op == "rot_pre":
+            add(op, modup(n, L, K, D, alpha), cnt)
+        elif op == "rescale":
+            add(op, rescale(n, L, comp), cnt)
+        elif op in ("mult_pt", "add"):
+            add(op, elementwise(n, L), cnt)
+        elif op == "combo":
+            _, _, B, R = key
+            add(op, combo_cost(n, L, B, R), cnt)
+    return total, breakdown
+
+
 def ks_geometry(ctx, level: int):
     """(limbs, num_sp, dnum_active, alpha) for a Context at `level`."""
     L = ctx.limbs_at(level)
