@@ -38,7 +38,8 @@ LOGQP_128 = {2048: 54, 4096: 109, 8192: 218, 16384: 438, 32768: 881,
 
 
 def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
-        df: int, comp: int = 2, dnum: int = 3, verbose: bool = True):
+        df: int, comp: int = 2, dnum: int = 3, verbose: bool = True,
+        lazy_keys: int | None = None):
     import os
 
     import jax
@@ -83,12 +84,18 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
           file=sys.stderr)
 
     keys = Keys.generate(ctx, seed=0)
-    # exactly the keys DirectSort requests (computed registry) - each KSK is
-    # ~290 MB at this depth, so no speculative extras
-    steps = rotation_indices_direct_sort(n_arr, ring)
-    keys.gen_rotation_keys(sorted(steps))
-    ev = Evaluator(ctx, keys)
-    srt = DirectSort(ev, n_arr)
+    if lazy_keys is None:
+        # exactly the keys DirectSort requests (computed registry) - each
+        # KSK is ~290 MB at this depth, so no speculative extras
+        steps = rotation_indices_direct_sort(n_arr, ring)
+        keys.gen_rotation_keys(sorted(steps))
+        ev = Evaluator(ctx, keys)
+        srt = DirectSort(ev, n_arr)
+    else:
+        # N >= 512: the key set exceeds HBM; just-in-time device keygen
+        # with an LRU pool (ops/rotation.py lazy_key_budget)
+        ev = Evaluator(ctx, keys, pt_cache_bytes=3 << 30)
+        srt = DirectSort(ev, n_arr, lazy_key_budget=lazy_keys)
     cfg = SignConfig(CompositeSignConfig(cn, dg, df))
     print(f"# setup {time.time()-t0:.1f}s (ring {ring}, depth {depth}, "
           f"Lq={ctx.num_q}, K={ctx.num_sp}, {len(keys.rot)} rot keys)",
@@ -135,8 +142,8 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
         rs = getattr(srt.rot, "stats", None)
         if rs is not None:
             print(f"# rotation stats: rotations={rs.rotations} "
-                  f"fast={rs.fast_rotations} composed={rs.composed}",
-                  file=sys.stderr)
+                  f"fast={rs.fast_rotations} composed={rs.composed} "
+                  f"lazy_keygens={rs.lazy_keygens}", file=sys.stderr)
 
     got = keys.decrypt(out, n_arr)
     err = float(np.abs(got - np.sort(vals)).max())
@@ -159,6 +166,8 @@ def main():
     ap.add_argument("--comp", type=int, default=2,
                     help="primes per level (2 -> Delta=2^56)")
     ap.add_argument("--dnum", type=int, default=3)
+    ap.add_argument("--lazy-keys", type=int, default=None,
+                    help="JIT rotation-key pool size (required for N>=512)")
     args = ap.parse_args()
 
     if args.cn is None or args.dg is None or args.df is None:
@@ -183,7 +192,8 @@ def main():
 
     best, err, logqp, budget, sec_ok, pct = run(
         args.n, args.ring, args.depth, args.trials,
-        args.cn, args.dg, args.df, comp=args.comp, dnum=args.dnum)
+        args.cn, args.dg, args.df, comp=args.comp, dnum=args.dnum,
+        lazy_keys=args.lazy_keys)
     base = BASELINE_S.get(args.n)
     print(json.dumps({
         "metric": f"directsort_n{args.n}_ring{args.ring}_wall_clock",

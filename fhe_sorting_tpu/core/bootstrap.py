@@ -57,11 +57,16 @@ class Bootstrapper:
         # bootstrap = full bootstrap + slots-metadata restore at the end
         # (OpenFHE's s-dim sparse path is a performance variant of this).
         self.slots = nh
-        assert ctx.params.comp == 1, (
-            "bootstrap ModRaise is single-prime for now (comp=1)"
-        )
+        # ModRaise base: the product of the bottom `comp` primes (~ Delta).
+        # comp=1 raises from q0; comp=2 (composite scaling, the flagship
+        # chain) reconstructs each coefficient from the bottom PAIR by CRT
+        # on device and extends the centered representative.
+        self.comp = ctx.params.comp
+        assert self.comp in (1, 2), "bootstrap ModRaise supports comp <= 2"
         self.K = K
-        self.q0 = ctx.q_primes[0]
+        self.q0 = 1
+        for p in ctx.q_primes[: self.comp]:
+            self.q0 *= p
         self.level_budget = level_budget
 
         # C2S chain: u_br = (s0/q0) * [prod groups] * w, 1/nh and s0/q0
@@ -102,24 +107,68 @@ class Bootstrapper:
         return idx
 
     def _mod_raise(self, ct: Ciphertext) -> Ciphertext:
-        """1-limb ct -> full-chain level-0 ct (exact centered extension)."""
+        """Bottom-`comp`-limb ct -> full-chain level-0 ct.
+
+        comp=1: centered extension of the single-limb residue.
+        comp=2: per-coefficient CRT x = x0 + q0*t, t = (x1-x0)*q0^{-1} mod
+        q1, extended as x mod p = x0 + (q0 mod p)*t; centering subtracts
+        q0*q1 when t >= q1/2 (the boundary slop shifts the q0*q1-multiple
+        I by at most 1, which EvalMod's [-K, K] range absorbs)."""
         ev = self.ev
         ctx = ev.ctx
         dev = ev._dev
         L0 = ctx.num_q
-        t1 = _tab_slice(dev.tables, 0, 1)
+        c = self.comp
         t_all = _tab_slice(dev.tables, 0, L0)
         pc_all = _pc_slice(dev.pc, 0, L0)
-        x = nttm.intt(ct.data[:, :1, :], t1)          # [2, 1, n] coeff, mod q0
-        q0 = self.q0
-        q0_half = jnp.uint32((q0 + 1) // 2)
         q0_mod = jnp.asarray(
-            np.array([q0 % p for p in ctx.q_primes[:L0]], np.uint64)
+            np.array([self.q0 % p for p in ctx.q_primes[:L0]], np.uint64)
             .astype(np.uint32)[:, None]
         )
-        xm = reduce_u32(x, pc_all.p[None], pc_all.p_inv32[None])
-        ext = jnp.where(x >= q0_half, sub_mod(xm, q0_mod[None], pc_all.p[None]),
-                        xm)
+        if c == 1:
+            t1 = _tab_slice(dev.tables, 0, 1)
+            x = nttm.intt(ct.data[:, :1, :], t1)      # [2, 1, n] coeff mod q0
+            q0_half = jnp.uint32((self.q0 + 1) // 2)
+            xm = reduce_u32(x, pc_all.p[None], pc_all.p_inv32[None])
+            ext = jnp.where(x >= q0_half,
+                            sub_mod(xm, q0_mod[None], pc_all.p[None]), xm)
+        else:
+            from .modmath import barrett_mulmod
+
+            p0, p1 = ctx.q_primes[0], ctx.q_primes[1]
+            t2 = _tab_slice(dev.tables, 0, 2)
+            pc1 = _pc_slice(dev.pc, 1, 2)
+            x01 = nttm.intt(ct.data[:, :2, :], t2)    # [2, 2, n] coeff
+            x0 = x01[:, :1, :]                        # mod p0
+            x1 = x01[:, 1:2, :]                       # mod p1
+            # t = (x1 - x0) * p0^{-1} mod p1
+            x0m1 = reduce_u32(x0, pc1.p[None], pc1.p_inv32[None])
+            from .modmath import host_shoup, shoup_mulmod
+
+            inv01 = pow(p0, -1, p1)
+            d = sub_mod(x1, x0m1, pc1.p[None])
+            t = shoup_mulmod(
+                d, jnp.uint32(inv01),
+                jnp.uint32(int(host_shoup(np.uint64(inv01), p1))),
+                pc1.p[None],
+            )                                          # [2, 1, n] in [0, p1)
+            # extend x = x0 + p0*t to every target prime
+            x0e = reduce_u32(x0, pc_all.p[None], pc_all.p_inv32[None])
+            te = reduce_u32(t, pc_all.p[None], pc_all.p_inv32[None])
+            p0_mod = jnp.asarray(
+                np.array([p0 % p for p in ctx.q_primes[:L0]], np.uint64)
+                .astype(np.uint32)[:, None]
+            )
+            from .modmath import add_mod as _add
+
+            prod = barrett_mulmod(te, p0_mod[None], pc_all.p[None],
+                                  pc_all.r2_32[None],
+                                  pc_all.r2_32_shoup[None],
+                                  pc_all.p_inv32[None])
+            xm = _add(x0e, prod, pc_all.p[None])
+            t_half = jnp.uint32((p1 + 1) // 2)
+            ext = jnp.where(t >= t_half,
+                            sub_mod(xm, q0_mod[None], pc_all.p[None]), xm)
         data = nttm.ntt(ext, t_all)
         return Ciphertext(data, 0, 1, ct.slots)
 
@@ -155,7 +204,7 @@ class Bootstrapper:
         if ct.sdeg == 2:
             ct = ev.rescale(ct)
         s_bottom = float(ctx.scale_dec(ct.level))
-        ct1 = Ciphertext(ct.data[:, :1, :], ct.level, 1, nh)
+        ct1 = Ciphertext(ct.data[:, : self.comp, :], ct.level, 1, nh)
 
         raised = self._mod_raise(ct1)
 

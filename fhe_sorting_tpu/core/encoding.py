@@ -106,6 +106,13 @@ def embed_forward(a, n: int) -> np.ndarray:
 def coeffs_to_residues(coeffs: np.ndarray, prime_list) -> np.ndarray:
     """Centered int64 coefficients -> canonical residue planes [L, n] u64."""
     out = np.zeros((len(prime_list), len(coeffs)), dtype=np.uint64)
+    if coeffs.dtype != object:
+        # vectorized int64 path (the exact-bigint fallback below costs
+        # ~Python-int ops per (coeff, limb) - 100x slower at ring 2^17)
+        c64 = coeffs.astype(np.int64)
+        for i, p in enumerate(prime_list):
+            out[i] = (c64 % np.int64(p)).astype(np.uint64)
+        return out
     c = coeffs.astype(object)
     for i, p in enumerate(prime_list):
         out[i] = np.asarray(c % p, dtype=np.uint64)

@@ -126,6 +126,7 @@ class Evaluator:
             self._jit_rot_pre = jax.jit(self._rotate_precompute_impl)
             self._jit_rot_hoist = jax.jit(self._rotate_hoisted_impl)
             self._jit_combo = jax.jit(self._combo_impl)
+            self._jit_pt_ntt = jax.jit(self._pt_ntt_impl)
 
     # -- trace-time helpers ------------------------------------------------
 
@@ -151,6 +152,12 @@ class Evaluator:
         Ll = self.ctx.limbs_at(level)
         out = np.array([m % p for p in self.ctx.q_primes[:Ll]], dtype=np.uint64)
         return jnp.asarray(out.astype(np.uint32)[:, None])
+
+    def _pt_ntt_impl(self, res, dev: DevState):
+        """Plaintext residues [L, n] coeff -> eval domain (device NTT)."""
+        L = res.shape[0]
+        t = _tab_slice(dev.tables, 0, L)
+        return nttm.ntt(res, t)
 
     # -- plaintext construction (host side) --------------------------------
 
@@ -180,13 +187,24 @@ class Evaluator:
             coeffs = encode_coeffs(values, ctx.params.ring_n, scale, slots=s)
             Ll = ctx.limbs_at(level)
             res = coeffs_to_residues(coeffs, ctx.q_primes[:Ll])
-            host = _host_ntt_all(ctx, res, range(Ll)).astype(np.uint32)
+            if self.jit_ops:
+                # device-side NTT: at ring 2^17 the 68-limb host butterfly
+                # costs seconds per plaintext; the TPU does it in sub-ms.
+                # (jit_ops=False paths run under an outer jit where a
+                # device NTT would embed a per-constant subgraph - those
+                # keep the host path.)
+                host = res.astype(np.uint32)
+            else:
+                host = _host_ntt_all(ctx, res, range(Ll)).astype(np.uint32)
             self._pt_host_cache[key] = host
             if len(self._pt_host_cache) > self._pt_cache_entries:
                 self._pt_host_cache.popitem(last=False)
         else:
             self._pt_host_cache.move_to_end(key)
-        arr = jnp.asarray(host)
+        if self.jit_ops:
+            arr = self._jit_pt_ntt(jnp.asarray(host), self._dev)
+        else:
+            arr = jnp.asarray(host)
         pt = Plaintext(arr, level, sdeg, s)
         if not isinstance(arr, jax.core.Tracer):
             self._pt_cache[key] = pt

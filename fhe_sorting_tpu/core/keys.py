@@ -199,10 +199,18 @@ class Keys:
         rng = rng or np.random.default_rng(1)
         self.relin = self._gen_ksk(self._s2_eval, rng)
 
-    def gen_rotation_keys(self, steps, seed: int = 2):
+    def gen_rotation_keys(self, steps, seed: int | None = None):
         """Generate keys for the given slot-rotation steps (reference
-        parity: EvalRotateKeyGen with the per-N index lists)."""
-        rng = np.random.default_rng(seed)
+        parity: EvalRotateKeyGen with the per-N index lists).
+
+        Randomness comes from ONE persistent generator across calls: reusing
+        a fixed seed per call would draw the same `a` planes for different
+        galois targets, and b_1 - b_2 then reveals g*(sigma_1(s)-sigma_2(s))
+        - a secret-key leak.  An explicit `seed` reseeds the stream (tests
+        only)."""
+        if seed is not None or getattr(self, "_rot_rng", None) is None:
+            self._rot_rng = np.random.default_rng(2 if seed is None else seed)
+        rng = self._rot_rng
         for r in steps:
             g = self.ctx.galois_element_rot(r)
             if g in self.rot or g == 1:

@@ -49,30 +49,28 @@ def _default_np(num_partition: int, N: int) -> int:
 def rotation_indices_direct_sort(N: int, ring_n: int) -> set:
     """Exact set of rotation amounts DirectSort requests, derived from the
     algorithm structure (replaces the reference's hand-maintained per-N key
-    lists, sort_algo.h:95-201, with a computed registry)."""
+    lists, sort_algo.h:95-201, with a computed registry).
+
+    Multi-batch sorts use the uniform-batch refactoring
+    rot(x, b*P + j*np) = rot(rot(x, j*np), b*P), so the key set is
+    babies + batch-independent giants + num_batch offsets + folds:
+    O(P/np + num_batch) keys instead of O(num_batch * P/np)."""
     max_batch = ring_n // 2
     idx = set()
 
-    # constructRank
     num_partition = min(N, max_batch // N)
     num_batch = N // num_partition
     num_slots = N * num_partition
     np_ = min(_default_np(num_partition, N), num_partition)
-    idx.update(range(np_))                       # baby steps
-    for is_ in range(num_batch):
-        for j in range(num_partition // np_):
-            idx.add(is_ * num_partition + j * np_)   # giant steps
-    for i in range(1, int(math.log2(num_partition)) + 1):
-        idx.add(num_slots >> i)                  # fold
-
-    # rotationIndexCheckN
-    np2 = min(_default_np(num_partition, N), num_partition)
-    idx.update(range(np2))                       # pre-rotations
+    idx.update(range(np_))                       # baby steps / pre-rotations
+    for j in range(num_partition // np_):
+        idx.add(j * np_)                         # constructRank giants
+    for i in range((num_slots // N) // np_):
+        idx.add(i * np_)                         # blind-rotation giants
     for b in range(num_batch):
-        for i in range((num_slots // N) // np2):
-            idx.add(b * num_partition + i * np2)     # blind-rotation giants
+        idx.add(b * num_partition)               # batch offsets
     for i in range(1, int(math.log2(num_partition)) + 1):
-        idx.add(num_slots >> i)
+        idx.add(num_slots >> i)                  # folds
     idx.discard(0)
     return idx
 
@@ -129,7 +127,11 @@ def rotation_indices_direct_sort_hybrid(N: int, ring_n: int) -> set:
 
 class DirectSort(SortBase):
     def __init__(self, ev: Evaluator, N: int,
-                 rot: RotationComposer | None = None):
+                 rot: RotationComposer | None = None,
+                 lazy_key_budget: int | None = None):
+        """`lazy_key_budget`: generate rotation keys on device just-in-time
+        with an LRU pool of that size (ops/rotation.py) - required at
+        N >= 512 where the distinct giant-step key count would exceed HBM."""
         super().__init__(ev, N)
         self.max_batch = ev.ctx.params.ring_n // 2
         # capacity precondition: at least one shifted copy of the array must
@@ -140,7 +142,8 @@ class DirectSort(SortBase):
         self.comp = Comparison(ev)
         self.ps = ChebyshevPS(ev)
         steps = sorted(rotation_indices_direct_sort(N, ev.ctx.params.ring_n))
-        self.rot = rot or RotationComposer(ev, steps)
+        self.rot = rot or RotationComposer(ev, steps,
+                                           lazy_key_budget=lazy_key_budget)
 
     # -- plaintext mask generators (sort_algo.h:206-290 parity) -----------
 
@@ -201,17 +204,23 @@ class DirectSort(SortBase):
         num_slots = N * num_partition
         np_ = min(_default_np(num_partition, N), num_partition)
 
-        babies = []
-        for i in range(np_):
-            t = self.rot.rotate(ct, i)
-            babies.append(t.set_slots(num_slots))
-
         rank = None
         dup = ct.set_slots(num_slots)
         for is_ in range(num_batch):
-            shifted = self._vec_rots_opt(babies, num_partition, num_slots, np_, is_)
+            # uniform batches: rotate the INPUT by the batch offset first, so
+            # every batch reuses batch-0's masks and giant-step keys
+            # (rot(x, b*P + j*np) = rot(rot(x, b*P), j*np); the sharded
+            # multi-chip path, parallel/direct_sharded.py, has the same form)
+            u = self.rot.rotate(ct, is_ * num_partition) if is_ else ct
+            babies = []
+            for i in range(np_):
+                t = self.rot.rotate(u, i) if i else u
+                babies.append(t.set_slots(num_slots))
+            shifted = self._vec_rots_opt(babies, num_partition, num_slots,
+                                         np_, 0)
             cmp = self.comp.compare(dup, shifted, sign_func, cfg)
             rank = cmp if rank is None else ev.add(rank, cmp)
+            self.log_phase(f"constructRank batch {is_+1}/{num_batch}", rank)
 
         for i in range(1, int(math.log2(num_partition)) + 1):
             rank = ev.add(rank, self.rot.rotate(rank, num_slots >> i))
@@ -278,10 +287,15 @@ class DirectSort(SortBase):
                 self.rot.rotate_hoisted(masked, pre, i) if i else masked
                 for i in range(np_)
             ]
+            # uniform batches: accumulate with batch-0 giants, then apply
+            # the batch offset to the sum (one rotation per batch)
             rotated = self._blind_rotation_opt_n(
-                masked_rots, num_slots, np_, b, num_partition
+                masked_rots, num_slots, np_, 0, num_partition
             )
+            if b:
+                rotated = self.rot.rotate(rotated, b * num_partition)
             out = rotated if out is None else ev.add(out, rotated)
+            self.log_phase(f"rotationIndexCheck batch {b+1}/{num_batch}", out)
 
         for i in range(1, int(math.log2(num_partition)) + 1):
             out = ev.add(out, self.rot.rotate(out, num_slots >> i))

@@ -33,6 +33,7 @@ class RotationStats:
     rotations: int = 0
     fast_rotations: int = 0
     composed: int = 0
+    lazy_keygens: int = 0
     calls: dict = field(default_factory=dict)
 
     def record(self, r: int):
@@ -129,10 +130,20 @@ class Decomposer:
 
 
 class RotationComposer:
-    """rotation.h:193-238 parity: rotate with whatever keys exist."""
+    """rotation.h:193-238 parity: rotate with whatever keys exist.
+
+    `lazy_key_budget`: when set, rotation keys missing at call time are
+    generated ON DEVICE just-in-time (core/keys.py device keygen) and at
+    most `lazy_key_budget` such keys stay resident - the least recently
+    used lazy key is dropped beyond that.  This is what makes N=1024
+    DirectSort fit HBM: its ~135 distinct giant-step keys (~360 MB each at
+    ring 2^17) would need ~50 GB resident, but each is used in exactly one
+    batch iteration, so a small rotating pool suffices.  Keys present
+    before the composer was built are never evicted."""
 
     def __init__(self, ev: Evaluator, steps, wrap: int | None = None,
-                 algo: DecomposeAlgo = DecomposeAlgo.NAF):
+                 algo: DecomposeAlgo = DecomposeAlgo.NAF,
+                 lazy_key_budget: int | None = None):
         self.ev = ev
         nh = ev.ctx.params.ring_n // 2
         self.wrap = wrap if wrap is not None else nh
@@ -141,17 +152,39 @@ class RotationComposer:
             self.steps.add(int(s))
         self.dec = Decomposer(steps, self.wrap, algo)
         self.stats = RotationStats()
+        self.lazy_key_budget = lazy_key_budget
+        self._lazy_lru: list = []  # galois elements generated on demand
 
     def _has_key(self, r: int) -> bool:
         g = self.ev.ctx.galois_element_rot(r)
         return g in self.ev.keys.rot
+
+    def _ensure_key(self, r: int) -> bool:
+        """True if a direct key for r exists (possibly just generated)."""
+        if self._has_key(r):
+            g = self.ev.ctx.galois_element_rot(r)
+            if g in self._lazy_lru:  # refresh LRU position
+                self._lazy_lru.remove(g)
+                self._lazy_lru.append(g)
+            return True
+        if self.lazy_key_budget is None:
+            return False
+        keys = self.ev.keys
+        g = self.ev.ctx.galois_element_rot(r)
+        keys.gen_rotation_keys([r])
+        self._lazy_lru.append(g)
+        self.stats.lazy_keygens += 1
+        while len(self._lazy_lru) > self.lazy_key_budget:
+            old = self._lazy_lru.pop(0)
+            keys.rot.pop(old, None)
+        return True
 
     def rotate(self, ct: Ciphertext, r: int) -> Ciphertext:
         self.stats.record(r)
         r = r % self.wrap
         if r == 0:
             return ct
-        if self._has_key(r):
+        if self._ensure_key(r):
             self.stats.rotations += 1
             return self.ev.rotate(ct, r)
         out = ct
@@ -167,7 +200,7 @@ class RotationComposer:
         r = r % self.wrap
         if r == 0:
             return ct
-        if self._has_key(r):
+        if self._ensure_key(r):
             self.stats.fast_rotations += 1
             return self.ev.rotate_hoisted(ct, pre, r)
         parts = self.dec.decompose(r)

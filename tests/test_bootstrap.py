@@ -41,6 +41,7 @@ def test_mod_raise(env):
     ctx, keys, ev = env
     bs = Bootstrapper.__new__(Bootstrapper)  # only _mod_raise needed
     bs.ev = ev
+    bs.comp = 1
     bs.q0 = ctx.q_primes[0]
     rng = np.random.default_rng(1)
     z = rng.uniform(-0.4, 0.4, 128)
@@ -104,6 +105,30 @@ def test_bootstrap_sparse_packing(env):
     assert out.slots == 16
     assert out.level < ct_low.level
     got = keys.decrypt(out, 16)
+    np.testing.assert_allclose(got, z, atol=2e-2)
+
+
+def test_bootstrap_composite_scaling():
+    """comp=2 chain (Delta = 2^56 from u32 prime pairs - the flagship's
+    composite-scaling configuration): ModRaise reconstructs coefficients
+    from the bottom prime PAIR by CRT.  VERDICT r2 gap: bootstrap was
+    comp=1-only, so the deep flagship chain could never refresh."""
+    # the C2S + EvalMod + S2C chain consumes ~12 levels; 16 leaves the
+    # refreshed ciphertext usable depth (and decrypt headroom)
+    ctx = Context(CkksParams(ring_n=256, mult_depth=16, scale_bits=56,
+                             comp=2, base_limbs=4, secret_hamming=64))
+    keys = Keys.generate(ctx, seed=0)
+    keys.gen_conj_key()
+    ev = Evaluator(ctx, keys)
+    bs = Bootstrapper(ev, K=13.0, sin_degree=127)
+    keys.gen_rotation_keys(sorted(bs.required_rotations()))
+    rng = np.random.default_rng(5)
+    z = rng.uniform(-0.2, 0.2, 128)
+    ct = keys.encrypt(z)
+    ct_low = ev.level_reduce(ct, ctx.params.mult_depth - 1)
+    out = bs.bootstrap(ct_low)
+    got = keys.decrypt(out, 128)
+    assert out.level < ct_low.level
     np.testing.assert_allclose(got, z, atol=2e-2)
 
 
