@@ -67,9 +67,11 @@ def encode_coeffs(values, n: int, scale: float, slots: int | None = None):
     a = np.fft.fft(v) / n * itw
     coeffs = np.rint(a.real * scale)
     if np.abs(coeffs).max() >= 2**62:
-        # e.g. an index vector encoded at a squared scale: fall back to
-        # exact Python ints (float64 rounding here is ~2^-53 relative).
-        return np.array([int(c) for c in coeffs], dtype=object)
+        # e.g. an index vector encoded at a squared scale (~2^112): keep
+        # float64 - coeffs_to_residues reduces it by an exact two-part
+        # split (the 2^-53 relative representation error is far below the
+        # CKKS noise floor at these scales)
+        return coeffs
     return coeffs.astype(np.int64)
 
 
@@ -104,8 +106,28 @@ def embed_forward(a, n: int) -> np.ndarray:
 
 
 def coeffs_to_residues(coeffs: np.ndarray, prime_list) -> np.ndarray:
-    """Centered int64 coefficients -> canonical residue planes [L, n] u64."""
+    """Centered coefficients -> canonical residue planes [L, n] u64.
+
+    int64 input: direct vectorized modulo.  float64 input (|c| up to
+    ~2^124, e.g. squared-scale encodes): exact two-part split
+    c = hi*2^62 + lo with hi, lo representable in int64, reduced as
+    (hi * (2^62 mod p) + lo) mod p - still fully vectorized (the Python-
+    bigint fallback costs ~seconds per plaintext at ring 2^17).
+    """
     out = np.zeros((len(prime_list), len(coeffs)), dtype=np.uint64)
+    if coeffs.dtype == np.float64:
+        if np.abs(coeffs).max() >= 2.0**124:
+            coeffs = np.array([int(c) for c in coeffs], dtype=object)
+        else:
+            hi = np.floor(coeffs / 2.0**62)
+            lo = coeffs - hi * 2.0**62          # in [0, 2^62), exact in f64
+            hi64 = hi.astype(np.int64)
+            lo64 = lo.astype(np.int64)
+            for i, p in enumerate(prime_list):
+                p64 = np.int64(p)
+                w = np.int64(pow(2, 62, int(p)))
+                out[i] = (((hi64 % p64) * w + lo64) % p64).astype(np.uint64)
+            return out
     if coeffs.dtype != object:
         # vectorized int64 path (the exact-bigint fallback below costs
         # ~Python-int ops per (coeff, limb) - 100x slower at ring 2^17)

@@ -127,6 +127,7 @@ class Evaluator:
             self._jit_rot_hoist = jax.jit(self._rotate_hoisted_impl)
             self._jit_combo = jax.jit(self._combo_impl)
             self._jit_pt_ntt = jax.jit(self._pt_ntt_impl)
+            self._jit_mult_pt_perm = jax.jit(self._mult_plain_perm_impl)
 
     # -- trace-time helpers ------------------------------------------------
 
@@ -424,12 +425,37 @@ class Evaluator:
                            pc.r2_32_shoup[None], pc.p_inv32[None])
         return Ciphertext(d, a.level, 2, a.slots)
 
-    def mult_plain_at(self, a: Ciphertext, values) -> Ciphertext:
-        """Encode `values` at a's (post-rescale) level and multiply."""
+    def _mult_plain_perm_impl(self, a: Ciphertext, pt: Plaintext, perm,
+                              dev) -> Ciphertext:
+        """ct x sigma_g(pt): the plaintext is slot-rotated ON DEVICE by the
+        galois permutation (no key switch - plaintexts are not encrypted)."""
+        _, pc = self._active(dev, a.level)
+        d = barrett_mulmod(a.data, pt.data[:, perm][None], pc.p[None],
+                           pc.r2_32[None], pc.r2_32_shoup[None],
+                           pc.p_inv32[None])
+        return Ciphertext(d, a.level, 2, a.slots)
+
+    def mult_plain_at(self, a: Ciphertext, values,
+                      roll: int = 0) -> Ciphertext:
+        """Encode `values` at a's (post-rescale) level and multiply.
+
+        `roll`: multiply by np.roll(values, roll) WITHOUT encoding the
+        rolled copy - the roll is a plaintext automorphism applied on
+        device.  The mask families of the BSGS sorts are all rolls of one
+        base block, so this collapses O(num_batch * P) mask encodes +
+        uploads (4.6 GB per N=128 sort through the host link) into ONE."""
         if a.sdeg == 2:
             a = self.rescale(a)
         pt = self.make_plaintext(values, a.level, 1, slots=a.slots)
-        return self.mult(a, pt)
+        if roll % (self.ctx.params.ring_n // 2) == 0:
+            return self.mult(a, pt)
+        # np.roll(v, s) = slot left-rotation by -s
+        g = self.ctx.galois_element_rot(-roll)
+        perm = self.ctx.galois_perm(g)
+        self.op_stats[("mult_pt", a.level)] += 1
+        f = (self._jit_mult_pt_perm if self.jit_ops
+             else self._mult_plain_perm_impl)
+        return f(a, pt, perm, self._dev)
 
     def _mult_ct_impl(self, a, b, relin: KeySwitchKey, dev) -> Ciphertext:
         a = self._adjust_for_mult(a, dev)

@@ -106,11 +106,12 @@ def rotation_indices_direct_sort_2n(N: int, ring_n: int) -> set:
     return idx
 
 
-def rotation_indices_direct_sort_hybrid(N: int, ring_n: int) -> set:
+def rotation_indices_direct_sort_hybrid(N: int, ring_n: int,
+                                        max_array: int = 256) -> set:
     """Key set for the hybrid placement (sumColumnsToTarget /
     transposeColumnTarget binary paths + batch rotations)."""
     idx = rotation_indices_direct_sort(N, ring_n)
-    size = min(N, 256)
+    size = min(N, max_array)
     step = size >> 1
     while step:
         idx.update({step, -step})
@@ -119,8 +120,8 @@ def rotation_indices_direct_sort_hybrid(N: int, ring_n: int) -> set:
     for _ in range(int(math.log2(size))):
         idx.update({step, -step})
         step >>= 1
-    for b in range(1, max(1, N // 256)):
-        idx.add(b * 256)
+    for b in range(1, max(1, N // max_array)):
+        idx.add(b * max_array)
     idx.discard(0)
     return idx
 
@@ -183,13 +184,15 @@ class DirectSort(SortBase):
         ciphertext whose partition k holds the array left-rotated by
         is_*num_partition + k."""
         ev = self.ev
+        base = self._mask_block(num_slots, 0, self.N)
         outer = []
         for j in range(num_partition // np_):
             T = None
             for i in range(np_):
-                msk = self._mask_block(num_slots, np_ * j + i, self.N)
-                msk = np.roll(msk, is_ * num_partition + j * np_)
-                term = ev.mult_plain_at(babies[i], msk)
+                # every mask is a roll of the base N-block: rolled on device
+                # (plaintext automorphism) instead of encoded per position
+                r = (np_ * j + i) * self.N + is_ * num_partition + j * np_
+                term = ev.mult_plain_at(babies[i], base, roll=r)
                 T = term if T is None else ev.add(T, term)
             outer.append(self.rot.rotate(T, is_ * num_partition + j * np_))
         return ev.add_many(outer)
@@ -233,13 +236,13 @@ class DirectSort(SortBase):
         """sort_algo.h:561-584: giant-step accumulation of pre-rotated masked
         inputs."""
         ev = self.ev
+        base = self._mask_block(num_slots, 0, self.N)
         result = None
         for i in range((num_slots // self.N) // np_):
             tmp = None
             for j in range(np_):
-                msk = self._mask_block(num_slots, np_ * i + j, self.N)
-                msk = np.roll(msk, -j)
-                term = ev.mult_plain_at(masked[j], msk)
+                r = (np_ * i + j) * self.N - j
+                term = ev.mult_plain_at(masked[j], base, roll=r)
                 tmp = term if tmp is None else ev.add(tmp, term)
             tmp = self.rot.rotate(tmp, ib * num_partition + i * np_)
             result = tmp if result is None else ev.add(result, tmp)
@@ -308,13 +311,13 @@ class DirectSort(SortBase):
         partitions."""
         ev = self.ev
         group = num_slots // self.N // 2
+        base = self._mask_block(num_slots, 0, 2 * self.N)
         result = None
         for i in range(group // np_):
             tmp = None
             for j in range(np_):
-                msk = self._mask_block(num_slots, np_ * i + j, 2 * self.N)
-                msk = np.roll(msk, -j)
-                term = ev.mult_plain_at(masked[j], msk)
+                r = (np_ * i + j) * 2 * self.N - j
+                term = ev.mult_plain_at(masked[j], base, roll=r)
                 tmp = term if tmp is None else ev.add(tmp, term)
             tmp = self.rot.rotate(tmp, i * np_)
             result = tmp if result is None else ev.add(result, tmp)
@@ -405,13 +408,20 @@ class DirectSort(SortBase):
             c = ev.mult_plain_at(c, m)
         return c
 
+    # Hybrid placement thresholds (sort_algo.h:898, 964-981).  Class attrs
+    # so tests can exercise the batched / sign-indicator branches at small N
+    # and small rings (the reference only reaches them at N>=256, ring 2^17).
+    hybrid_max_array: int = 256      # maxArraySize: N x N tile capacity
+    hybrid_sinc_threshold: int = 256  # below: sinc Chebyshev; above: sign
+    hybrid_indicator_dg: int | None = None  # override indicator g-iterations
+
     def rotation_index_check_hybrid(self, rank: Ciphertext, ct: Ciphertext,
                                     sign_func=SignFunc.CompositeSign
                                     ) -> Ciphertext:
         """sort_algo.h:893-1047: N x N-matrix placement via a sinc (N<256)
         or sign-indicator (N>=256) of (i/N - rank/N)."""
         ev, N = self.ev, self.N
-        max_array = 256
+        max_array = self.hybrid_max_array
         if N > max_array:
             num_slots = self.max_batch
             num_batch = N // max_array
@@ -445,10 +455,12 @@ class DirectSort(SortBase):
             acc = None
             for k in range(num_batch):
                 rm = ev.rsub(sub_pt, rots_rank[k])
-                if N < 256:
+                if N < self.hybrid_sinc_threshold:
                     rm = self.ps.evaluate(rm, sinc_coefficients(N, stretch=stretch))
                 else:
-                    dgi = 4 if N < 512 else 5
+                    # sort_algo.h:968-981: dg 4 below N=512, else 5; tests
+                    # scale the branch down via hybrid_indicator_dg
+                    dgi = self.hybrid_indicator_dg or (4 if N < 512 else 5)
                     cfg_i = SignConfig(CompositeSignConfig(3, dgi, 2))
                     rm = Comparison(ev).indicator(rm, 0.5 / (N * stretch),
                                                   sign_func, cfg_i)

@@ -123,8 +123,15 @@ class ChebyshevPS:
                 consts[i] = cc[0]
             combo = getattr(ev, "combo", None)
             if combo is not None:
-                leaf_cts = combo([babies[i] for i in range(1, k + 1)],
-                                 rows, consts)
+                # chunk the row axis: bounds the [R, 2, L, n] output + digit
+                # temporaries (N=1024's ~100 segments would spike HBM), and
+                # chunks of a fixed size share one compiled program
+                CH = 32
+                baby_list = [babies[i] for i in range(1, k + 1)]
+                leaf_cts = []
+                for lo in range(0, len(leaves), CH):
+                    leaf_cts += combo(baby_list, rows[lo:lo + CH],
+                                      consts[lo:lo + CH])
             else:
                 leaf_cts = [self._linear_combo(cc, babies) for cc in leaves]
 

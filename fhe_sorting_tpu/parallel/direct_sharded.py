@@ -151,13 +151,13 @@ class ShardedDirectSort:
                     inp, perm, KeySwitchKey(kb, ka), dev))
                 babies = [u if i == 0 else srt.rot.rotate(u, i)
                           for i in range(np_)]
+                base = srt._mask_block(num_slots, 0, N)
                 shifted = None
                 for j in range(J):
                     T = None
                     for i in range(np_):
-                        msk = srt._mask_block(num_slots, np_ * j + i, N)
-                        msk = np.roll(msk, j * np_)
-                        term = ev.mult_plain_at(babies[i], msk)
+                        r = (np_ * j + i) * N + j * np_
+                        term = ev.mult_plain_at(babies[i], base, roll=r)
                         T = term if T is None else ev.add(T, term)
                     T = srt.rot.rotate(T, j * np_)
                     shifted = T if shifted is None else ev.add(shifted, T)
@@ -203,13 +203,13 @@ class ShardedDirectSort:
                     srt.rot.rotate_hoisted(masked, pre, i) if i else masked
                     for i in range(np_)
                 ]
+                base2 = srt._mask_block(num_slots, 0, N)
                 inner = None
                 for i in range(I2):
                     tmp = None
                     for j in range(np_):
-                        msk = srt._mask_block(num_slots, np_ * i + j, N)
-                        msk = np.roll(msk, -j)
-                        term = ev.mult_plain_at(mrots[j], msk)
+                        r = (np_ * i + j) * N - j
+                        term = ev.mult_plain_at(mrots[j], base2, roll=r)
                         tmp = term if tmp is None else ev.add(tmp, term)
                     tmp = srt.rot.rotate(tmp, i * np_)
                     inner = tmp if inner is None else ev.add(inner, tmp)

@@ -44,3 +44,36 @@ def test_bitonic_sort_n4(env):
     cfg = SignConfig(CompositeSignConfig(3, 2, 2))
     out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
     assert np.abs(out - np.sort(x)).max() < 0.01
+
+
+def test_bitonic_sort_with_bootstrap():
+    """Bitonic with a REAL bootstrap firing mid-network (sort_algo.h:1110-1112:
+    bootstrap when depth runs low).  A shallow chain forces >= 1 refresh."""
+    from fhe_sorting_tpu.core.bootstrap import Bootstrapper
+
+    ctx = Context(CkksParams(ring_n=256, mult_depth=24, secret_hamming=64))
+    keys = Keys.generate(ctx, seed=0)
+    keys.gen_conj_key()
+    ev = Evaluator(ctx, keys)
+    bs = Bootstrapper(ev, K=13.0, sin_degree=127)
+    keys.gen_rotation_keys(sorted(
+        bs.required_rotations()
+        | {1 << i for i in range(6)} | {-(1 << i) for i in range(6)}
+    ))
+    boots = []
+
+    def bootstrap_fn(ct):
+        boots.append(ct.level)
+        return bs.bootstrap(ct, msg_scale_down=2.0)
+
+    N = 4
+    x = np.array([0.19, 0.06, 0.13, 0.02])
+    ct = keys.encrypt(x, slots=N)
+    srt = BitonicSort(ev, N, normalize=1.0, bootstrap_fn=bootstrap_fn,
+                      bootstrap_level=12)
+    # (3,2,1): 10 levels/stage, so stage 3 fits after a refresh to ~level 12
+    # (input gaps >= 0.04 resolve with 2 g-iterations)
+    cfg = SignConfig(CompositeSignConfig(3, 2, 1))
+    out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
+    assert len(boots) >= 1, "bootstrap never fired"
+    assert np.abs(out - np.sort(x)).max() < 0.01

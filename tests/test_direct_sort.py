@@ -125,3 +125,45 @@ def test_full_sort(env, N):
     out_ct = srt.sort(ct, SignFunc.CompositeSign, cfg)
     out = keys.decrypt(out_ct)[:N]
     assert np.abs(out - np.sort(x)).max() < 0.01  # the reference contract
+
+
+def test_full_sort_multibatch_lazy_keys(env):
+    """num_batch > 1 geometry (N=32 at ring 512 -> num_partition=8,
+    num_batch=4) through the uniform-batch path, with just-in-time LRU
+    rotation keys forcing eviction + regeneration.  This is the same code
+    path N=1024 takes at ring 2^17 (sort_algo.h:371-416 collapse)."""
+    ctx, keys, ev = env
+    N = 32
+    x = vector_with_min_diff(N, seed=9)
+    ct = keys.encrypt(x)
+    srt = DirectSort(ev, N, lazy_key_budget=6)
+    assert N // min(N, RING // 2 // N) == 4  # num_batch
+    cfg = SignConfig(CompositeSignConfig(3, 4, 2))
+    out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg))[:N]
+    assert np.abs(out - np.sort(x)).max() < 0.01
+    assert srt.rot.stats.lazy_keygens > 0  # eviction actually happened
+
+
+def test_hybrid_batched_sign_indicator_branch(env):
+    """The N >= 256 hybrid branch (sort_algo.h:964-981: batched placement +
+    sign-based indicator instead of the sinc) exercised at small scale by
+    lowering the class thresholds: N=8 with max_array=4 -> num_batch=2 and
+    the CompositeSign indicator path."""
+    ctx, keys, ev = env
+    N = 8
+    x = vector_with_min_diff(N, seed=11)
+    ct = keys.encrypt(x, slots=N)
+    from fhe_sorting_tpu.models.direct_sort import (
+        rotation_indices_direct_sort_hybrid,
+    )
+    rot = RotationComposer(
+        ev, rotation_indices_direct_sort_hybrid(N, RING, max_array=4),
+        lazy_key_budget=8,
+    )
+    srt = DirectSort(ev, N, rot=rot)
+    srt.hybrid_max_array = 4
+    srt.hybrid_sinc_threshold = 8   # force the sign-indicator branch
+    srt.hybrid_indicator_dg = 2     # 1/8 gap needs only 2 g-iterations
+    cfg = SignConfig(CompositeSignConfig(3, 3, 2))
+    out = keys.decrypt(srt.sort_hybrid(ct, SignFunc.CompositeSign, cfg), N)
+    assert np.abs(out - np.sort(x)).max() < 0.01

@@ -150,3 +150,41 @@ def test_kway_sort_with_real_bootstrap(boot_env):
     out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
     assert len(fired) >= 1, "no bootstrap fired - depth budget too deep"
     assert np.abs(out - np.sort(x)).max() < 0.01
+
+
+@pytest.mark.slow
+def test_kway_reference_shape_multdepth40():
+    """The reference's own k-way configuration scaled to this chain
+    (kway_adapter.h:41-64: multDepth 40, bootstrap levelBudget {2,2}) at
+    ring 4096: N=16 (k=2, M=4, d_g=3, d_f=2 per KWaySort235Test.cpp:98-222)
+    with at least TWO real bootstraps firing mid-sort, err < 0.01."""
+    from fhe_sorting_tpu.core.bootstrap import Bootstrapper
+    from fhe_sorting_tpu.models.kway.sorter import Sorter as KWaySorter
+
+    ctx = Context(CkksParams(ring_n=4096, mult_depth=40, secret_hamming=64,
+                             first_mod_bits=30))
+    keys = Keys.generate(ctx, seed=0)
+    keys.gen_conj_key()
+    ev = Evaluator(ctx, keys)
+    bs = Bootstrapper(ev, K=13.0, sin_degree=255, level_budget=(2, 2),
+                      asin_terms=2)
+    keys.gen_rotation_keys(sorted(
+        bs.required_rotations()
+        | {1 << i for i in range(12)} | {-(1 << i) for i in range(12)}
+    ))
+    fired = []
+
+    def bfn(ct):
+        fired.append(ct.level)
+        return bs.bootstrap(ct)
+
+    k, M = 2, 4
+    N = k ** M
+    x = vector_with_min_diff(N, seed=4)
+    ct = keys.encrypt(x, slots=N)
+    srt = KWaySorter(ev, k, M, bootstrap_fn=bfn)
+    cfg = SignConfig(CompositeSignConfig(3, 3, 2),
+                     mult_depth=ctx.params.mult_depth)
+    out = keys.decrypt(srt.sort(ct, SignFunc.CompositeSign, cfg), N)
+    assert len(fired) >= 2, f"expected >=2 bootstraps, got {len(fired)}"
+    assert np.abs(out - np.sort(x)).max() < 0.01

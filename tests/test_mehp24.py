@@ -83,3 +83,22 @@ def test_sort_fg_multi(env):
     out_parts = srt.sort_fg_multi(parts, dg_c=2, df_c=3, dg_i=2, df_i=3)
     got = np.concatenate([keys.decrypt(p, SUB) for p in out_parts])
     assert np.abs(got - np.sort(x)).max() < 0.01
+
+
+def test_sort_large_array_fg(env):
+    """N > sub_length: split -> multi-ciphertext sortFG -> combine
+    (mehp24_sort.cpp:607-645 / splitCiphertext mehp24_utils.cpp:266-302).
+    N=8 with sub_length=4 exercises the same split/triangle/combine code
+    the reference only reaches at N>256."""
+    ctx, keys, ev = env
+    N, sub = 8, 4
+    x = vector_with_min_diff(N, seed=21)
+    srt = Mehp24Sort(ev, N, sub_length=sub)
+    ct = _encrypt_matrix_input(keys, x, sub)  # row-0 layout, N spills rows
+    # sort() dispatches to sort_large_array_fg when N > sub_length
+    padded = np.zeros(sub * sub)
+    padded[:N] = x
+    ct = keys.encrypt(padded, slots=sub * sub)
+    out = srt.sort_large_array_fg(ct, 2, 2, 2, 3)
+    got = keys.decrypt(out, N)
+    assert np.abs(got - np.sort(x)).max() < 0.01

@@ -120,3 +120,39 @@ def test_fherma_golden_vector():
     cfg = SignConfig(CompositeSignConfig(4, 3, 3))
     out = keys.decrypt(srt.sort(keys.encrypt(x), SignFunc.CompositeSign, cfg), N)
     assert np.abs(out - target).max() < 0.01
+
+
+def test_server_cli_end_to_end(tmp_path):
+    """Full serving loop through the CLI on FILES (main.cpp parity): client
+    builds context + eval keys + encrypted input, server (no secret key)
+    sorts via serving.sort_server.main, client decrypts the output file."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from serving.sort_server import main as server_main
+    from fhe_sorting_tpu.utils.depth_meter import measure_direct_sort_depth
+
+    N, RING = 8, 512
+    scfg = SignConfig(CompositeSignConfig(3, 2, 2))
+    depth = measure_direct_sort_depth(N, RING, scfg)["mult_depth"]
+    ctx = Context(CkksParams(ring_n=RING, mult_depth=depth))
+    keys = Keys.generate(ctx, seed=0)
+    keys.gen_rotation_keys(sorted(rotation_indices_direct_sort(N, RING)))
+
+    save_context(str(tmp_path / "cc.json"), ctx)
+    save_eval_keys(str(tmp_path / "keys.npz"), keys)
+    rng = np.random.default_rng(13)
+    x = rng.permutation(N) / N + 0.5 / N
+    save_ciphertext(str(tmp_path / "in.npz"), keys.encrypt(x))
+
+    server_main([
+        "--cc", str(tmp_path / "cc.json"),
+        "--keys", str(tmp_path / "keys.npz"),
+        "--input", str(tmp_path / "in.npz"),
+        "--output", str(tmp_path / "out.npz"),
+        "--n", str(N), "--algo", "direct",
+        "--sign_n", "3", "--dg", "2", "--df", "2",
+    ])
+
+    out = load_ciphertext(str(tmp_path / "out.npz"))
+    got = keys.decrypt(out, N)   # client-side decrypt
+    assert np.abs(got - np.sort(x)).max() < 0.01
