@@ -137,7 +137,8 @@ class MeterEvaluator:
     def square(self, a: Ciphertext) -> Ciphertext:
         return self.mult(a, a)
 
-    def mult_plain_at(self, a: Ciphertext, values) -> Ciphertext:
+    def mult_plain_at(self, a: Ciphertext, values,
+                      roll: int = 0) -> Ciphertext:
         return self.mult(a, 1.0)
 
     def make_plaintext(self, values, level: int, sdeg: int = 1,
