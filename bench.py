@@ -92,9 +92,17 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
         ev = Evaluator(ctx, keys)
         srt = DirectSort(ev, n_arr)
     else:
-        # N >= 512: the key set exceeds HBM; just-in-time device keygen
-        # with an LRU pool (ops/rotation.py lazy_key_budget)
-        ev = Evaluator(ctx, keys, pt_cache_bytes=3 << 30)
+        # N >= 512: the full key set exceeds HBM.  Pin the SHARED keys
+        # (babies + giant steps + folds - used every batch iteration) and
+        # serve only the num_batch batch-offset keys (each used twice per
+        # sort) from the just-in-time LRU pool (ops/rotation.py): a pool
+        # covering everything thrashes (~210 device keygens/sort at N=1024)
+        # because the cyclic access pattern is LRU's worst case.
+        P = min(n_arr, (ring // 2) // n_arr)
+        offsets = {b * P for b in range(1, n_arr // P)}
+        steps = rotation_indices_direct_sort(n_arr, ring)
+        keys.gen_rotation_keys(sorted(steps - offsets))
+        ev = Evaluator(ctx, keys, pt_cache_bytes=2 << 30)
         srt = DirectSort(ev, n_arr, lazy_key_budget=lazy_keys)
     cfg = SignConfig(CompositeSignConfig(cn, dg, df))
     print(f"# setup {time.time()-t0:.1f}s (ring {ring}, depth {depth}, "
@@ -105,11 +113,15 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
     vals = rng.permutation(n_arr) / n_arr + 0.5 / n_arr
     ct = keys.encrypt(vals)
 
-    # warm-up run compiles every (op, level) combination
+    # warm-up run compiles every (op, level) combination; verbose so the
+    # stderr log carries a per-phase (name, level, seconds) breakdown
+    # (observability parity with mehp24_sort.cpp:230-244 level prints)
+    srt.verbose = verbose
     t0 = time.time()
     out = srt.sort(ct, SignFunc.CompositeSign, cfg)
     out.data.block_until_ready()
     warm = time.time() - t0
+    srt.verbose = False
     print(f"# warm-up (incl. compile): {warm:.1f}s", file=sys.stderr)
 
     times = []
@@ -145,6 +157,18 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
                   f"fast={rs.fast_rotations} composed={rs.composed} "
                   f"lazy_keygens={rs.lazy_keygens}", file=sys.stderr)
 
+    # free device memory before the D2H decrypt: after a lazy-keygen run the
+    # HBM high-water mark leaves too little contiguous space for the
+    # transfer staging buffer (observed RESOURCE_EXHAUSTED at N=1024)
+    ev._pt_cache.clear()
+    ev._pt_cache_used = 0
+    if lazy_keys is not None:
+        for g in list(getattr(srt.rot, "_lazy_lru", ())):
+            keys.rot.pop(g, None)
+        srt.rot._lazy_lru.clear()
+    del rank
+    import gc
+    gc.collect()
     got = keys.decrypt(out, n_arr)
     err = float(np.abs(got - np.sort(vals)).max())
     print(f"# max sort error: {err:.2e}", file=sys.stderr)

@@ -37,7 +37,10 @@ def main():
         rng.integers(0, min(primes), size=(2, L, n), dtype=np.uint32)
     )
 
-    def bench(name, fn, *xs):
+    from fhe_sorting_tpu.utils import roofline
+
+    def bench(name, fn, *xs, cost=None):
+        """`cost`: roofline.KernelCost for the speed-of-light column."""
         try:
             out = fn(*xs)
             jax.block_until_ready(out)
@@ -50,8 +53,16 @@ def main():
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / args.iters
         gb = 2 * L * n * 4 * 2 / 1e9  # one read + one write of [2, L, n] u32
-        print(f"{name:24s} {dt*1e3:8.3f} ms   ({gb/dt:6.1f} GB/s min-traffic)")
+        sol = ""
+        if cost is not None:
+            sol = (f"   SoL {cost.sol_seconds()*1e3:.3f} ms "
+                   f"({cost.bound()}-bound) -> {cost.pct_of_sol(dt):.1f}%")
+        print(f"{name:24s} {dt*1e3:8.3f} ms   "
+              f"({gb/dt:6.1f} GB/s min-traffic){sol}")
         return out
+
+    fs_cost = roofline.ntt_fourstep(n, L, polys=2)
+    bf_cost = roofline.ntt_butterfly(n, L, polys=2)
 
     from fhe_sorting_tpu.core import ntt_mxu
 
@@ -62,10 +73,10 @@ def main():
     from fhe_sorting_tpu.core import pallas_fs_ntt
 
     f_pfs = jax.jit(lambda x: pallas_fs_ntt.ntt_fs_pallas(x, fst))
-    o1 = bench("ntt/xla-butterfly", f_xla, a)
-    o2 = bench("ntt/pallas-butterfly", f_pal, a)
-    o3 = bench("ntt/mxu-four-step", f_fs, a)
-    o4 = bench("ntt/pallas-four-step", f_pfs, a)
+    o1 = bench("ntt/xla-butterfly", f_xla, a, cost=bf_cost)
+    o2 = bench("ntt/pallas-butterfly", f_pal, a, cost=bf_cost)
+    o3 = bench("ntt/mxu-four-step", f_fs, a, cost=fs_cost)
+    o4 = bench("ntt/pallas-four-step", f_pfs, a, cost=fs_cost)
     for name, o in (("pallas", o2), ("four-step", o3), ("pallas-fs", o4)):
         if o1 is not None and o is not None:
             same = bool((np.asarray(o1) == np.asarray(o)).all())
@@ -75,10 +86,10 @@ def main():
     i_pal = jax.jit(lambda x: pallas_ntt.intt_pallas(x, tabs))
     i_fs = jax.jit(lambda x: ntt_mxu.intt_fs(x, fst))
     i_pfs = jax.jit(lambda x: pallas_fs_ntt.intt_fs_pallas(x, fst))
-    bench("intt/xla-butterfly", i_xla, a)
-    bench("intt/pallas-butterfly", i_pal, a)
-    bench("intt/mxu-four-step", i_fs, a)
-    bench("intt/pallas-four-step", i_pfs, a)
+    bench("intt/xla-butterfly", i_xla, a, cost=bf_cost)
+    bench("intt/pallas-butterfly", i_pal, a, cost=bf_cost)
+    bench("intt/mxu-four-step", i_fs, a, cost=fs_cost)
+    bench("intt/pallas-four-step", i_pfs, a, cost=fs_cost)
 
     # one full keyswitch (rotation) at top level for context
     from fhe_sorting_tpu.core.context import CkksParams, Context
@@ -90,14 +101,16 @@ def main():
     keys.gen_rotation_keys([1])
     ev = Evaluator(ctx, keys)
     ct = keys.encrypt(rng.uniform(0, 1, n // 2))
+    Lq, K, D, alpha = roofline.ks_geometry(ctx, ct.level)
     r = ev.rotate(ct, 1)
     jax.block_until_ready(r.data)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         r = ev.rotate(ct, 1)
     jax.block_until_ready(r.data)
-    print(f"{'rotate(keyswitch)':24s} "
-          f"{(time.perf_counter()-t0)/args.iters*1e3:8.3f} ms")
+    dt = (time.perf_counter() - t0) / args.iters
+    print(roofline.report("rotate(keyswitch)",
+                          roofline.keyswitch(n, Lq, K, D, alpha), dt))
 
     m = ev.mult(ct, ct)
     jax.block_until_ready(m.data)
@@ -105,8 +118,9 @@ def main():
     for _ in range(args.iters):
         m = ev.mult(ct, ct)
     jax.block_until_ready(m.data)
-    print(f"{'mult(ct,ct)+relin':24s} "
-          f"{(time.perf_counter()-t0)/args.iters*1e3:8.3f} ms")
+    dt = (time.perf_counter() - t0) / args.iters
+    print(roofline.report("mult(ct,ct)+relin",
+                          roofline.ct_mult(n, Lq, K, D, alpha), dt))
 
 
 if __name__ == "__main__":

@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 from decimal import Decimal, getcontext
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import jax.tree_util as tree_util
 import numpy as np
@@ -505,7 +506,13 @@ class Context:
             m = 2 * self.params.ring_n
             tgt = (g * self._root_exp) % m
             perm = np.array([self._exp_pos[int(e)] for e in tgt], dtype=np.int32)
-            self._galois_perm_cache[g] = jnp.asarray(perm)
+            arr = jnp.asarray(perm)
+            if isinstance(arr, jax.core.Tracer):
+                # under a trace (jit / eval_shape) jnp.asarray yields a
+                # tracer; caching it would leak it into later traces (the
+                # same failure mode as the round-1 plaintext-cache leak)
+                return arr
+            self._galois_perm_cache[g] = arr
         return self._galois_perm_cache[g]
 
     # -- limb-sliced views ------------------------------------------------

@@ -37,11 +37,21 @@ def main(argv=None):
     ap.add_argument("--n", type=int, required=True, help="array size")
     ap.add_argument("--algo", default="direct",
                     choices=["direct", "bitonic", "kway", "mehp24"])
-    # CompositeSignConfig(4,3,3) is the reference serving default (sort.h:89)
-    ap.add_argument("--sign_n", type=int, default=4)
-    ap.add_argument("--dg", type=int, default=3)
-    ap.add_argument("--df", type=int, default=3)
+    # default: the params registry's per-N choice (the reference hardcodes
+    # CompositeSignConfig(4,3,3) at sort.h:89; a registry default cannot
+    # exceed the depth the context was provisioned for)
+    ap.add_argument("--sign_n", type=int, default=None)
+    ap.add_argument("--dg", type=int, default=None)
+    ap.add_argument("--df", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.sign_n is None or args.dg is None or args.df is None:
+        from fhe_sorting_tpu.utils.params_registry import direct_sort_sign_cfg
+
+        cn, dg, df = direct_sort_sign_cfg(args.n)
+        args.sign_n = args.sign_n if args.sign_n is not None else cn
+        args.dg = args.dg if args.dg is not None else dg
+        args.df = args.df if args.df is not None else df
 
     ctx = load_context(args.cc)
     keys = load_eval_keys(args.keys, ctx)

@@ -51,7 +51,10 @@ def test_bitonic_sort_with_bootstrap():
     bootstrap when depth runs low).  A shallow chain forces >= 1 refresh."""
     from fhe_sorting_tpu.core.bootstrap import Bootstrapper
 
-    ctx = Context(CkksParams(ring_n=256, mult_depth=24, secret_hamming=64))
+    # depth 25, not 24: the last stage lands at level 24, where sdeg-2
+    # intermediates (compare outputs ~1.0 at scale^2 = 2^56) need a 3-limb
+    # modulus; at depth 24 only 2 limbs (~2^56) remain and values >= 0.5 wrap
+    ctx = Context(CkksParams(ring_n=256, mult_depth=25, secret_hamming=64))
     keys = Keys.generate(ctx, seed=0)
     keys.gen_conj_key()
     ev = Evaluator(ctx, keys)

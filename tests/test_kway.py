@@ -114,8 +114,10 @@ def boot_env():
     from fhe_sorting_tpu.core.bootstrap import Bootstrapper
 
     # first_mod_bits=30: q0/Delta = 4 so [0,1] messages ModRaise with no
-    # pre-scale - the bootstrap can take level-exhausted ciphertexts
-    ctx = Context(CkksParams(ring_n=256, mult_depth=28, secret_hamming=64,
+    # pre-scale - the bootstrap can take level-exhausted ciphertexts.
+    # depth 22: the k=2/M=2 sort consumes 26 levels, so this chain is too
+    # shallow to finish without refreshing (forces >= 1 real bootstrap)
+    ctx = Context(CkksParams(ring_n=256, mult_depth=22, secret_hamming=64,
                              first_mod_bits=30))
     keys = Keys.generate(ctx, seed=0)
     keys.gen_conj_key()
