@@ -24,8 +24,8 @@ sys.path.insert(0, ".")
 import numpy as np  # noqa: E402
 
 
-def run_one(algo: str, N: int, ring: int, depth: int, seed: int,
-            dg: int, df: int):
+def run_one(algo: str, N: int, ring: int, depth: int | None, seed: int,
+            dg: int | None, df: int | None, comp: int = 1):
     from fhe_sorting_tpu.core.context import CkksParams, Context
     from fhe_sorting_tpu.core.evaluator import Evaluator
     from fhe_sorting_tpu.core.keys import Keys
@@ -34,7 +34,31 @@ def run_one(algo: str, N: int, ring: int, depth: int, seed: int,
     )
     from tests.utils import vector_with_min_diff
 
-    ctx = Context(CkksParams(ring_n=ring, mult_depth=depth))
+    # per-N defaults from the declarative registry + depth meter (replaces
+    # the reference's hand-maintained per-N switch tables, sort_algo.h:87-201)
+    if dg is None or df is None:
+        from fhe_sorting_tpu.utils.params_registry import direct_sort_sign_cfg
+
+        _, rdg, rdf = direct_sort_sign_cfg(N)
+        dg = dg if dg is not None else rdg
+        df = df if df is not None else rdf
+    if depth is None:
+        if algo == "direct":
+            from fhe_sorting_tpu.utils.depth_meter import (
+                measure_direct_sort_depth,
+            )
+
+            depth = measure_direct_sort_depth(
+                N, ring, SignConfig(CompositeSignConfig(3, dg, df))
+            )["mult_depth"]
+        else:
+            depth = 36
+
+    ctx = Context(CkksParams(
+        ring_n=ring, mult_depth=depth,
+        scale_bits=56 if comp == 2 else 28, comp=comp,
+        base_limbs=4 if comp == 2 else 2,
+    ))
     keys = Keys.generate(ctx, seed=0)
     cfg = SignConfig(CompositeSignConfig(3, dg, df))
     ev = Evaluator(ctx, keys)
@@ -97,11 +121,25 @@ def main():
     ap.add_argument("--sizes", type=int, nargs="+", default=[4, 8])
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--ring", type=int, default=2048)
-    ap.add_argument("--depth", type=int, default=36)
-    ap.add_argument("--dg", type=int, default=3)
-    ap.add_argument("--df", type=int, default=2)
+    ap.add_argument("--depth", type=int, default=None,
+                    help="default: depth meter (direct) / 36")
+    ap.add_argument("--dg", type=int, default=None,
+                    help="default: params registry per N")
+    ap.add_argument("--df", type=int, default=None)
+    ap.add_argument("--comp", type=int, default=2,
+                    help="primes per level (2 -> Delta=2^56, the noise floor "
+                         "the reference reaches with 59-bit primes)")
     ap.add_argument("--out", default="experiment_results")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                    help="force a JAX platform (the container pins the axon "
+                         "TPU; cpu matches the reference's insecure-fast "
+                         "test mode)")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.out, exist_ok=True)
     total = []
@@ -109,7 +147,8 @@ def main():
         rows = []
         for t in range(args.trials):
             dt, emax, eavg = run_one(args.algo, N, args.ring, args.depth,
-                                     seed=t, dg=args.dg, df=args.df)
+                                     seed=t, dg=args.dg, df=args.df,
+                                     comp=args.comp)
             rows.append((dt, emax, eavg))
             print(f"N={N} trial {t}: {dt:.2f}s maxerr {emax:.2e}",
                   file=sys.stderr)
