@@ -168,41 +168,35 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
                   f"fast={rs.fast_rotations} composed={rs.composed} "
                   f"lazy_keygens={rs.lazy_keygens}", file=sys.stderr)
 
-    # free device memory before the D2H decrypt: after a large-N run the
-    # relay's bulk D2H path can fail with RESOURCE_EXHAUSTED (observed at
-    # N=1024 after ~19k dispatched programs; compute keeps working).  The
-    # sort is done - decryption is host-side - so the rotation keys and
-    # plaintext cache can go before the transfer.
+    # Decrypt transfer.  IMPORTANT: attempt the D2H with the device state
+    # untouched - mass-deallocating GBs (or churning keys during the run)
+    # right before a transfer is precisely what wedges the relay's D2H path
+    # (observed: N=128 decrypts fine with no cleanup, hangs with an
+    # aggressive pre-transfer free; N=1024 with keygen churn never
+    # transfers at all).  Cleanup is the FALLBACK, not the preparation.
     import gc
-    ev._pt_cache.clear()
-    ev._pt_cache_used = 0
-    keys.rot.clear()
-    if hasattr(srt.rot, "_lazy_lru"):
-        srt.rot._lazy_lru.clear()
-    del rank
-    gc.collect()
-    import jax.numpy as jnp
     from fhe_sorting_tpu.core.cipher import Ciphertext as _Ct
 
     expected = np.sort(vals)
     host_data = None
     err_method = "decrypt"
-    for attempt, pause in enumerate((0.0, 5.0, 20.0, 60.0)):
-        if pause:
+
+    try:
+        host_data = _fetch(out.data, 120.0)
+    except Exception as e:  # noqa: BLE001
+        print(f"# direct decrypt transfer failed ({type(e).__name__}); "
+              f"freeing eval keys and retrying", file=sys.stderr)
+        ev._pt_cache.clear()
+        ev._pt_cache_used = 0
+        keys.rot.clear()
+        gc.collect()
+        for pause in (5.0, 30.0):
             time.sleep(pause)
-        try:  # tiny-probe: is D2H wedged entirely, or just for big buffers?
-            probe = np.asarray(jnp.arange(8, dtype=jnp.uint32) + 1)
-            probe_ok = bool(probe[0] == 1)
-        except Exception:  # noqa: BLE001
-            probe_ok = False
-        try:
-            host_data = np.asarray(out.data)
-            break
-        except Exception as e:  # noqa: BLE001 - relay D2H can be transient
-            print(f"# decrypt transfer attempt {attempt} failed "
-                  f"({type(e).__name__}); tiny D2H probe: "
-                  f"{'ok' if probe_ok else 'FAILED'}", file=sys.stderr)
-            gc.collect()
+            try:
+                host_data = _fetch(out.data, 60.0)
+                break
+            except Exception:  # noqa: BLE001
+                continue
     if host_data is not None:
         got = keys.decrypt(_Ct(host_data, out.level, out.sdeg, out.slots),
                            n_arr)
@@ -211,8 +205,14 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
         # bulk D2H is gone for this process: compute the error bound ON
         # DEVICE against the encoded expected output; only f32 scalars
         # cross the link (sound L1 max-slot bound + Parseval RMS estimate)
-        err_method = "device_l1_bound"
-        err = _device_err_bound(ev, keys, out, expected)
+        try:
+            err_method = "device_l1_bound"
+            err = _device_err_bound(ev, keys, out, expected)
+        except Exception as e:  # noqa: BLE001 - even scalar D2H wedged
+            print(f"# device error bound also failed: {type(e).__name__}",
+                  file=sys.stderr)
+            err_method = "transfer_wedged"
+            err = float("nan")
     print(f"# max sort error ({err_method}): {err:.2e}", file=sys.stderr)
     return best, err, logqp, budget, sec_ok, pct, err_method
 
@@ -282,14 +282,41 @@ def _device_err_bound(ev, keys, out, expected) -> float:
     negres = neg_mod(dco, p)
     neg = garner_f32(negres)
     coeff_err = jnp.minimum(pos, neg)
-    l1 = jnp.sum(coeff_err)
-    rms_coeff = jnp.sqrt(jnp.mean(coeff_err * coeff_err))
-    l1_f = float(np.asarray(l1))
+    both = jnp.stack([jnp.sum(coeff_err),
+                      jnp.sqrt(jnp.mean(coeff_err * coeff_err))])
+    both_h = _fetch(both, 120.0)        # 8-byte D2H, hang-guarded
+    l1_f = float(both_h[0])
     n = ctx.params.ring_n
-    rms_slot_est = float(np.asarray(rms_coeff)) * float(np.sqrt(n / 2.0))
+    rms_slot_est = float(both_h[1]) * float(np.sqrt(n / 2.0))
     print(f"# device err: L1 max-slot bound {l1_f:.3e}, "
           f"Parseval RMS-slot estimate {rms_slot_est:.3e}", file=sys.stderr)
     return l1_f
+
+
+def _fetch(arr, timeout_s: float):
+    """D2H with a hang guard: the relay's transfer path can block forever
+    after a heavy run; the worker thread is abandoned on timeout (the RPC
+    releases the GIL) and the caller falls back."""
+    import threading
+
+    import numpy as np
+
+    box: dict = {}
+
+    def work():
+        try:
+            box["v"] = np.asarray(arr)
+        except Exception as e:  # noqa: BLE001
+            box["e"] = e
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "v" in box:
+        return box["v"]
+    if "e" in box:
+        raise box["e"]
+    raise TimeoutError(f"D2H did not complete in {timeout_s:.0f}s")
 
 
 def _bench_one(n: int, args) -> dict:
@@ -316,7 +343,7 @@ def _bench_one(n: int, args) -> dict:
     return {
         "value": round(best, 3),
         "vs_baseline": round(base / best, 2) if base else None,
-        "max_error": err,
+        "max_error": err if err == err else None,  # NaN -> null (strict JSON)
         "err_method": err_method,
         "logqp_bits": round(logqp, 1),
         "logqp_128bit_budget": budget,

@@ -51,6 +51,16 @@ def run_one(algo: str, N: int, ring: int, depth: int | None, seed: int,
             depth = measure_direct_sort_depth(
                 N, ring, SignConfig(CompositeSignConfig(3, dg, df))
             )["mult_depth"]
+        elif algo == "kway":
+            # the k-way network consumes ~9-11 levels/stage (the reference
+            # runs it at multDepth 40 WITH bootstrapping, kway_adapter.h:52);
+            # the insecure-fast table provisions deep instead: per-stage
+            # budget x stage count (Sorter.cpp:298)
+            from fhe_sorting_tpu.models.kway.adapter import kway_decompose
+            from fhe_sorting_tpu.models.kway.masking import num_stages
+
+            k, M = kway_decompose(N)
+            depth = 14 * num_stages(k, M) + 10
         else:
             depth = 36
 
