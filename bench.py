@@ -387,7 +387,14 @@ def main():
             continue
         import gc
 
-        gc.collect()  # free the previous run's keys/ciphertexts from HBM
+        if i:
+            # free the previous run's keys/ciphertexts AND its loaded
+            # executables from HBM (without this the N=1024 phase OOMs in
+            # the sort: the N=128 phase's programs + buffers still resident)
+            import jax
+
+            jax.clear_caches()
+        gc.collect()
         r = _bench_one(n, args)
         if out is None:
             out = {
