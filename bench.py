@@ -385,18 +385,8 @@ def main():
                 f"time budget {args.budget_s:.0f}s exhausted (cold cache?)"
             )
             continue
-        import gc
-
-        if i:
-            # free the previous run's keys/ciphertexts AND its loaded
-            # executables from HBM (without this the N=1024 phase OOMs in
-            # the sort: the N=128 phase's programs + buffers still resident)
-            import jax
-
-            jax.clear_caches()
-        gc.collect()
-        r = _bench_one(n, args)
         if out is None:
+            r = _bench_one(n, args)
             out = {
                 "metric": f"directsort_n{n}_ring{args.ring}_wall_clock",
                 "unit": "s",
@@ -405,8 +395,25 @@ def main():
                                 "HEStd_128_classic ring 2^17)",
             }
         else:
-            out.update({f"n{n}_{k}": v for k, v in r.items()
-                        if k != "baseline_src"})
+            # secondary N in a FRESH process: the relay defers buffer frees,
+            # so a same-process second phase OOMs in the sort no matter how
+            # aggressively the first phase's keys/executables are dropped
+            import os
+            import subprocess
+
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--n", str(n), "--ring", str(args.ring),
+                   "--trials", str(args.trials), "--comp", str(args.comp),
+                   "--dnum", str(args.dnum)]
+            try:
+                res = subprocess.run(cmd, stdout=subprocess.PIPE,
+                                     timeout=1800)
+                line = res.stdout.decode().strip().splitlines()[-1]
+                sub = json.loads(line)
+                out.update({f"n{n}_{k}": v for k, v in sub.items()
+                            if k not in ("metric", "unit", "baseline_src")})
+            except Exception as e:  # noqa: BLE001
+                out[f"n{n}_error"] = type(e).__name__
     print(json.dumps(out))
 
 
