@@ -135,6 +135,25 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
     srt.verbose = False
     print(f"# warm-up (incl. compile): {warm:.1f}s", file=sys.stderr)
 
+    # measure the sort error NOW, on the warm-up output: the relay's D2H
+    # path wedges nondeterministically as per-process work accumulates, so
+    # the earliest possible fetch has the best odds (the timed trials rerun
+    # the identical computation - the error does not change)
+    expected = np.sort(vals)
+    err = float("nan")
+    err_method = "decrypt"
+    try:
+        hd = _fetch(out.data, 120.0)
+        from fhe_sorting_tpu.core.cipher import Ciphertext as _Ct0
+
+        got = keys.decrypt(_Ct0(hd, out.level, out.sdeg, out.slots), n_arr)
+        err = float(np.abs(got - expected).max())
+        print(f"# max sort error (decrypt, post-warm-up): {err:.2e}",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# post-warm-up decrypt transfer failed ({type(e).__name__});"
+              f" will retry after the timed trials", file=sys.stderr)
+
     times = []
     phases = []
     for _ in range(trials):
@@ -177,43 +196,41 @@ def run(n_arr: int, ring: int, depth: int, trials: int, cn: int, dg: int,
     import gc
     from fhe_sorting_tpu.core.cipher import Ciphertext as _Ct
 
-    expected = np.sort(vals)
-    host_data = None
-    err_method = "decrypt"
-
-    try:
-        host_data = _fetch(out.data, 120.0)
-    except Exception as e:  # noqa: BLE001
-        print(f"# direct decrypt transfer failed ({type(e).__name__}); "
-              f"freeing eval keys and retrying", file=sys.stderr)
-        ev._pt_cache.clear()
-        ev._pt_cache_used = 0
-        keys.rot.clear()
-        gc.collect()
-        for pause in (5.0, 30.0):
-            time.sleep(pause)
-            try:
-                host_data = _fetch(out.data, 60.0)
-                break
-            except Exception:  # noqa: BLE001
-                continue
-    if host_data is not None:
-        got = keys.decrypt(_Ct(host_data, out.level, out.sdeg, out.slots),
-                           n_arr)
-        err = float(np.abs(got - expected).max())
-    else:
-        # bulk D2H is gone for this process: compute the error bound ON
-        # DEVICE against the encoded expected output; only f32 scalars
-        # cross the link (sound L1 max-slot bound + Parseval RMS estimate)
+    if err != err:  # early post-warm-up fetch failed: full fallback chain
+        host_data = None
         try:
-            err_method = "device_l1_bound"
-            err = _device_err_bound(ev, keys, out, expected)
-        except Exception as e:  # noqa: BLE001 - even scalar D2H wedged
-            print(f"# device error bound also failed: {type(e).__name__}",
-                  file=sys.stderr)
-            err_method = "transfer_wedged"
-            err = float("nan")
-    print(f"# max sort error ({err_method}): {err:.2e}", file=sys.stderr)
+            host_data = _fetch(out.data, 120.0)
+        except Exception as e:  # noqa: BLE001
+            print(f"# direct decrypt transfer failed ({type(e).__name__}); "
+                  f"freeing eval keys and retrying", file=sys.stderr)
+            ev._pt_cache.clear()
+            ev._pt_cache_used = 0
+            keys.rot.clear()
+            gc.collect()
+            for pause in (5.0, 30.0):
+                time.sleep(pause)
+                try:
+                    host_data = _fetch(out.data, 60.0)
+                    break
+                except Exception:  # noqa: BLE001
+                    continue
+        if host_data is not None:
+            got = keys.decrypt(
+                _Ct(host_data, out.level, out.sdeg, out.slots), n_arr)
+            err = float(np.abs(got - expected).max())
+        else:
+            # bulk D2H is gone for this process: compute the error bound
+            # ON DEVICE against the encoded expected output; only f32
+            # scalars cross the link (sound L1 max-slot bound)
+            try:
+                err_method = "device_l1_bound"
+                err = _device_err_bound(ev, keys, out, expected)
+            except Exception as e:  # noqa: BLE001 - even scalar D2H wedged
+                print(f"# device error bound also failed: "
+                      f"{type(e).__name__}", file=sys.stderr)
+                err_method = "transfer_wedged"
+                err = float("nan")
+        print(f"# max sort error ({err_method}): {err:.2e}", file=sys.stderr)
     return best, err, logqp, budget, sec_ok, pct, err_method
 
 
