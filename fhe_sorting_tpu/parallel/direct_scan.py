@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import math
 from collections import Counter
+from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
@@ -37,9 +38,27 @@ import numpy as np
 
 from ..core.cipher import Ciphertext, Plaintext
 from ..core.evaluator import Evaluator
+from ..core.keys import KeySwitchKey
 from ..models.direct_sort import DirectSort, _default_np
 from ..ops.sign import SignConfig, SignFunc
 from .direct_sharded import rotation_indices_sharded
+
+
+@contextmanager
+def _bound_state(ev: Evaluator, dev, rot_pack, relin_pack, gs):
+    """Temporarily rebind the evaluator's device state + key-switch keys to
+    (possibly traced) values.  The whole-phase programs take keys and tables
+    as ARGUMENTS: captured-constant closures would ship ~9 GB of KSK through
+    the relay at every compile and defeat the persistent compile cache."""
+    keys = ev.keys
+    old = (keys.rot, keys.relin, ev._dev)
+    keys.rot = {g: KeySwitchKey(kb, ka) for g, (kb, ka) in zip(gs, rot_pack)}
+    keys.relin = KeySwitchKey(*relin_pack)
+    ev._dev = dev
+    try:
+        yield
+    finally:
+        keys.rot, keys.relin, ev._dev = old
 
 
 def scan_rotation_indices(N: int, ring_n: int) -> set:
@@ -100,8 +119,16 @@ class ScanDirectSort:
         ev, srt, cfg = self.ev, self.srt, self.cfg
         N, P, nb, np_ = self.N, self.P, self.nb, self.np_
         num_slots = self.num_slots
-        dev = ev._dev
         meta0 = (example.level, example.sdeg, example.slots)
+
+        # keys + device tables as program ARGUMENTS (see _bound_state)
+        keys_obj = ev.keys
+        gs = tuple(sorted(keys_obj.rot))
+        self._gs = gs
+        rot_pack0 = tuple((keys_obj.rot[g].kb, keys_obj.rot[g].ka)
+                          for g in gs)
+        relin_pack0 = (keys_obj.relin.kb, keys_obj.relin.ka)
+        self._packs = (ev._dev, rot_pack0, relin_pack0)
 
         J = P // np_
         I2 = (num_slots // N) // np_
@@ -161,28 +188,29 @@ class ScanDirectSort:
                 u_next = u_data
             return u_next, remember("cmp", c).data
 
-        def phase1(data):
-            inp = Ciphertext(data, *meta0)
-            p1_body.dup = inp.set_slots(num_slots)
-            body = counted("constructRank", p1_body)
-            if nb > 1:
-                _, cs = jax.lax.scan(body, data, None, length=nb)
-            else:
-                _, c_data = body(data, None)
-                cs = c_data[None]
-            rank = self._fold_stack(cs, meta_cells["cmp"])
-            for i in range(1, int(math.log2(P)) + 1):
-                rank = ev.add(rank, srt.rot.rotate(rank, num_slots >> i))
-            rank = rank.set_slots(N)
-            rank = ev.sub(rank, 0.5)
-            self._rank_meta = (rank.level, rank.sdeg, rank.slots)
-            return rank.data
+        def phase1(data, dev, rot_pack, relin_pack):
+            with _bound_state(ev, dev, rot_pack, relin_pack, gs):
+                inp = Ciphertext(data, *meta0)
+                p1_body.dup = inp.set_slots(num_slots)
+                body = counted("constructRank", p1_body)
+                if nb > 1:
+                    _, cs = jax.lax.scan(body, data, None, length=nb)
+                else:
+                    _, c_data = body(data, None)
+                    cs = c_data[None]
+                rank = self._fold_stack(cs, meta_cells["cmp"])
+                for i in range(1, int(math.log2(P)) + 1):
+                    rank = ev.add(rank, srt.rot.rotate(rank, num_slots >> i))
+                rank = rank.set_slots(N)
+                rank = ev.sub(rank, 0.5)
+                self._rank_meta = (rank.level, rank.sdeg, rank.slots)
+                return rank.data
 
         # ---- phase 2: rotationIndexCheckN ----------------------------------
         def p2_body(_, check_data):
             imr, input2 = p2_body.state
             pt = Plaintext(check_data, imr.level, imr.sdeg, num_slots)
-            ri = ev._sub_pt(imr, pt, dev)
+            ri = ev._sub_pt(imr, pt, ev._dev)
             ri = srt.ps.evaluate(ri, coeffs)
             masked = ev.mult(ri, input2)
             pre = ev.rotate_precompute(masked)
@@ -202,41 +230,42 @@ class ScanDirectSort:
                 inner = tmp if inner is None else ev.add(inner, tmp)
             return None, remember("inner", inner).data
 
-        def phase2(rank_data, data):
-            rank = Ciphertext(rank_data, *self._rank_meta)
-            inp = Ciphertext(data, *meta0)
-            if rank.sdeg == 2:
-                rank = ev.rescale(rank)
-            idx_pt = ev.make_plaintext(srt._index_vector(), rank.level,
-                                       rank.sdeg, slots=N)
-            imr = ev.rsub(idx_pt, rank).set_slots(num_slots)
-            imr = ev.mult(imr, alpha)
-            if imr.sdeg == 2:
-                imr = ev.rescale(imr)
-            check_pts = jnp.stack([
-                ev.make_plaintext(checks[b], imr.level, imr.sdeg,
-                                  slots=num_slots).data
-                for b in range(nb)
-            ])
-            p2_body.state = (imr, inp.set_slots(num_slots))
-            body = counted("rotationIndexCheck", p2_body)
-            if nb > 1:
-                _, inners = jax.lax.scan(body, None, check_pts)
-            else:
-                _, i_data = body(None, check_pts[0])
-                inners = i_data[None]
-            meta_i = meta_cells["inner"]
-            # Horner recombination of sum_b rot(inner_b, b*P) with the single
-            # step-P key: acc = inner_b + rot(acc, P), b = nb-1 .. 0
-            out = Ciphertext(inners[nb - 1], *meta_i)
-            for b in range(nb - 2, -1, -1):
-                out = ev.add(Ciphertext(inners[b], *meta_i),
-                             srt.rot.rotate(out, P))
-            for i in range(1, int(math.log2(P)) + 1):
-                out = ev.add(out, srt.rot.rotate(out, num_slots >> i))
-            out = out.set_slots(N)
-            self._out_meta = (out.level, out.sdeg, out.slots)
-            return out.data
+        def phase2(rank_data, data, dev, rot_pack, relin_pack):
+            with _bound_state(ev, dev, rot_pack, relin_pack, gs):
+                rank = Ciphertext(rank_data, *self._rank_meta)
+                inp = Ciphertext(data, *meta0)
+                if rank.sdeg == 2:
+                    rank = ev.rescale(rank)
+                idx_pt = ev.make_plaintext(srt._index_vector(), rank.level,
+                                           rank.sdeg, slots=N)
+                imr = ev.rsub(idx_pt, rank).set_slots(num_slots)
+                imr = ev.mult(imr, alpha)
+                if imr.sdeg == 2:
+                    imr = ev.rescale(imr)
+                check_pts = jnp.stack([
+                    ev.make_plaintext(checks[b], imr.level, imr.sdeg,
+                                      slots=num_slots).data
+                    for b in range(nb)
+                ])
+                p2_body.state = (imr, inp.set_slots(num_slots))
+                body = counted("rotationIndexCheck", p2_body)
+                if nb > 1:
+                    _, inners = jax.lax.scan(body, None, check_pts)
+                else:
+                    _, i_data = body(None, check_pts[0])
+                    inners = i_data[None]
+                meta_i = meta_cells["inner"]
+                # Horner recombination of sum_b rot(inner_b, b*P) with the
+                # single step-P key: acc = inner_b + rot(acc, P), b high->low
+                out = Ciphertext(inners[nb - 1], *meta_i)
+                for b in range(nb - 2, -1, -1):
+                    out = ev.add(Ciphertext(inners[b], *meta_i),
+                                 srt.rot.rotate(out, P))
+                for i in range(1, int(math.log2(P)) + 1):
+                    out = ev.add(out, srt.rot.rotate(out, num_slots >> i))
+                out = out.set_slots(N)
+                self._out_meta = (out.level, out.sdeg, out.slots)
+                return out.data
 
         # one abstract pass per phase: pins meta cells AND tallies the op
         # counts (phase_stats) exactly once
@@ -244,13 +273,15 @@ class ScanDirectSort:
             c.clear()
         self._recording = True
         ev.op_stats, saved = Counter(), ev.op_stats
+        packs = self._packs
         r_sds = jax.eval_shape(
-            phase1, jax.ShapeDtypeStruct(example.data.shape, jnp.uint32))
+            phase1, jax.ShapeDtypeStruct(example.data.shape, jnp.uint32),
+            *packs)
         self.phase_stats["constructRank"] += ev.op_stats
         ev.op_stats = Counter()
         jax.eval_shape(
             phase2, jax.ShapeDtypeStruct(r_sds.shape, r_sds.dtype),
-            jax.ShapeDtypeStruct(example.data.shape, jnp.uint32))
+            jax.ShapeDtypeStruct(example.data.shape, jnp.uint32), *packs)
         self.phase_stats["rotationIndexCheck"] += ev.op_stats
         ev.op_stats = saved
         self._recording = False
@@ -264,10 +295,11 @@ class ScanDirectSort:
     def construct_rank(self, ct: Ciphertext) -> Ciphertext:
         if self._p1 is None:
             self.build(ct)
-        return Ciphertext(self._p1(ct.data), *self._rank_meta)
+        return Ciphertext(self._p1(ct.data, *self._packs), *self._rank_meta)
 
     def index_check(self, rank: Ciphertext, ct: Ciphertext) -> Ciphertext:
-        return Ciphertext(self._p2(rank.data, ct.data), *self._out_meta)
+        return Ciphertext(self._p2(rank.data, ct.data, *self._packs),
+                          *self._out_meta)
 
     def __call__(self, ct: Ciphertext) -> Ciphertext:
         rank = self.construct_rank(ct)
