@@ -5,7 +5,19 @@ harness that re-runs gtest binaries 10x and averages wall-clock + log2
 errors per array size).  Here it drives the sort implementations directly:
 
   python -m benchmarks.run_experiments --algo direct --sizes 4 8 16 \
-      --trials 3 --ring 4096 --depth 36 --out results/
+      --trials 3 --ring 4096 --out results/
+
+Honest timing (round-3 verdict #6): every size first runs ONE warm-up sort
+(compile + cache population, reported as `warmup_s`), then `--trials` timed
+sorts whose mean is `mean_time_s` - so the time column measures execution,
+not XLA compiles.  `--subprocess-per-N` re-execs each size in a fresh
+process (full isolation; the persistent compile cache keeps the warm-up
+cheap after the first size).
+
+k-way rows run the reference's own configuration (kway_adapter.h:41-64
+parity): multDepth 40 with REAL bootstrapping (level budget (2,2)) and the
+per-N (k, M, d_f, d_g) table from KWaySort235Test.cpp:98-222
+(utils/params_registry.KWAY_CONFIG), recorded per row.
 
 Writes N<k>_summary.txt and total_results.txt in the reference's spirit
 (mean time, max/avg log2 error per size).
@@ -16,26 +28,92 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
 
-def run_one(algo: str, N: int, ring: int, depth: int | None, seed: int,
-            dg: int | None, df: int | None, comp: int = 1):
+def _enable_cache():
+    import jax
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def build_sorter(algo: str, N: int, ring: int, depth: int | None,
+                 dg: int | None, df: int | None, comp: int):
+    """Returns (keys, sorter, cfg, encrypt_fn, cfg_info)."""
     from fhe_sorting_tpu.core.context import CkksParams, Context
     from fhe_sorting_tpu.core.evaluator import Evaluator
     from fhe_sorting_tpu.core.keys import Keys
-    from fhe_sorting_tpu.ops.sign import (
-        CompositeSignConfig, SignConfig, SignFunc,
-    )
-    from tests.utils import vector_with_min_diff
+    from fhe_sorting_tpu.ops.sign import CompositeSignConfig, SignConfig
 
-    # per-N defaults from the declarative registry + depth meter (replaces
-    # the reference's hand-maintained per-N switch tables, sort_algo.h:87-201)
+    if algo == "kway":
+        # reference shape: multDepth 40 + bootstrap (kway_adapter.h:41-64),
+        # registry per-N (k, M, d_f, d_g)
+        from fhe_sorting_tpu.core.bootstrap import Bootstrapper
+        from fhe_sorting_tpu.models.kway.adapter import (
+            KWayAdapter, kway_decompose,
+        )
+        from fhe_sorting_tpu.utils.params_registry import (
+            KWAY_CONFIG, KWAY_MULT_DEPTH,
+        )
+
+        k, M = kway_decompose(N)
+        if N in KWAY_CONFIG:
+            k, M, c_df, c_dg = KWAY_CONFIG[N]
+        else:
+            c_df, c_dg = 2, 2
+        dg = dg if dg is not None else c_dg
+        df = df if df is not None else c_df
+        depth = depth or KWAY_MULT_DEPTH
+        # composite scaling (Delta = 2^56): the 28-bit chain's C2S/S2C
+        # plaintext quantization wrecks bootstrap precision at ring >= 2^10
+        # (max err ~0.2 at ring 4096); the comp=2 chain bootstraps [0,1]
+        # messages at ~5e-3.  first_mod_bits=30 makes q0/Delta = 4, and
+        # msg_scale_down=4 keeps m/q0 <= 1/16 (asin residual < 1e-5).
+        ctx = Context(CkksParams(ring_n=ring, mult_depth=depth,
+                                 scale_bits=56, comp=2, base_limbs=4,
+                                 secret_hamming=64, first_mod_bits=30))
+        keys = Keys.generate(ctx, seed=0)
+        keys.gen_conj_key()
+        ev = Evaluator(ctx, keys)
+        bs = Bootstrapper(ev, K=13.0, sin_degree=255, level_budget=(2, 2),
+                          asin_terms=2)
+        keys.gen_rotation_keys(sorted(
+            bs.required_rotations()
+            | {1 << i for i in range(ring.bit_length() - 2)}
+            | {-(1 << i) for i in range(ring.bit_length() - 2)}
+        ))
+        fired = []
+
+        def bfn(ct):
+            fired.append(ct.level)
+            return bs.bootstrap(ct, msg_scale_down=4.0)
+
+        sorter = KWayAdapter(ev, N, bootstrap_fn=bfn)
+        cfg = SignConfig(CompositeSignConfig(3, dg, df), mult_depth=depth)
+        slots = 1 << (N - 1).bit_length()
+
+        def enc(x):
+            padded = np.zeros(slots)
+            padded[:N] = x
+            return keys.encrypt(padded, slots=slots)
+
+        info = {"k": k, "M": M, "dg": dg, "df": df, "mult_depth": depth,
+                "bootstrap_level_budget": [2, 2], "bootstraps_fired": fired}
+        return keys, sorter, cfg, enc, info
+
+    # direct / mehp24: deep chain, no bootstrap
     if dg is None or df is None:
         from fhe_sorting_tpu.utils.params_registry import direct_sort_sign_cfg
 
@@ -51,16 +129,6 @@ def run_one(algo: str, N: int, ring: int, depth: int | None, seed: int,
             depth = measure_direct_sort_depth(
                 N, ring, SignConfig(CompositeSignConfig(3, dg, df))
             )["mult_depth"]
-        elif algo == "kway":
-            # the k-way network consumes ~9-11 levels/stage (the reference
-            # runs it at multDepth 40 WITH bootstrapping, kway_adapter.h:52);
-            # the insecure-fast table provisions deep instead: per-stage
-            # budget x stage count (Sorter.cpp:298)
-            from fhe_sorting_tpu.models.kway.adapter import kway_decompose
-            from fhe_sorting_tpu.models.kway.masking import num_stages
-
-            k, M = kway_decompose(N)
-            depth = 14 * num_stages(k, M) + 10
         else:
             depth = 36
 
@@ -72,6 +140,7 @@ def run_one(algo: str, N: int, ring: int, depth: int | None, seed: int,
     keys = Keys.generate(ctx, seed=0)
     cfg = SignConfig(CompositeSignConfig(3, dg, df))
     ev = Evaluator(ctx, keys)
+    info = {"dg": dg, "df": df, "mult_depth": depth}
 
     if algo == "direct":
         from fhe_sorting_tpu.models.direct_sort import (
@@ -83,45 +152,73 @@ def run_one(algo: str, N: int, ring: int, depth: int | None, seed: int,
             | {1 << i for i in range(ring.bit_length() - 2)}
         ))
         sorter = DirectSort(ev, N)
-        x = vector_with_min_diff(N, seed=seed)
-        ct = keys.encrypt(x)
+
+        def enc(x):
+            return keys.encrypt(x)
     elif algo == "mehp24":
         from fhe_sorting_tpu.models.mehp24 import Mehp24Sort
         from fhe_sorting_tpu.models.mehp24.utils import rotation_indices_mehp24
 
+        sub = min(N, 256)
         keys.gen_rotation_keys(sorted(
-            rotation_indices_mehp24(N)
+            rotation_indices_mehp24(sub)
             | {1 << i for i in range(ring.bit_length() - 2)}
             | {-(1 << i) for i in range(ring.bit_length() - 2)}
         ))
-        sorter = Mehp24Sort(ev, N, sub_length=min(N, 256))
-        x = vector_with_min_diff(N, seed=seed)
-        padded = np.zeros(min(N, 256) ** 2)
-        padded[:N] = x
-        ct = keys.encrypt(padded, slots=len(padded))
-    elif algo == "kway":
-        from fhe_sorting_tpu.models.kway.adapter import KWayAdapter
+        sorter = Mehp24Sort(ev, N, sub_length=sub)
+        info["sub_length"] = sub
 
-        keys.gen_rotation_keys(sorted(
-            {1 << i for i in range(ring.bit_length() - 2)}
-            | {-(1 << i) for i in range(ring.bit_length() - 2)}
-        ))
-        sorter = KWayAdapter(ev, N)
-        x = vector_with_min_diff(N, seed=seed)
-        slots = 1 << (N - 1).bit_length()
-        padded = np.zeros(slots)
-        padded[:N] = x
-        ct = keys.encrypt(padded, slots=slots)
+        def enc(x):
+            padded = np.zeros(sub * sub)
+            padded[:N] = x
+            return keys.encrypt(padded, slots=len(padded))
     else:
         raise ValueError(algo)
+    return keys, sorter, cfg, enc, info
 
-    t0 = time.time()
-    out_ct = sorter.sort(ct, SignFunc.CompositeSign, cfg)
-    out_ct.data.block_until_ready()
-    dt = time.time() - t0
-    out = keys.decrypt(out_ct, N)
-    errs = np.abs(out - np.sort(x))
-    return dt, float(errs.max()), float(errs.mean())
+
+def run_size(algo: str, N: int, ring: int, depth: int | None, dg, df,
+             comp: int, trials: int):
+    """Warm-up once, then time `trials` sorts.  Returns the summary dict."""
+    from fhe_sorting_tpu.ops.sign import SignFunc
+    from tests.utils import vector_with_min_diff
+
+    keys, sorter, cfg, enc, info = build_sorter(
+        algo, N, ring, depth, dg, df, comp)
+
+    def one(seed: int):
+        x = vector_with_min_diff(N, seed=seed)
+        ct = enc(x)
+        t0 = time.time()
+        out_ct = sorter.sort(ct, SignFunc.CompositeSign, cfg)
+        out_ct.data.block_until_ready()
+        dt = time.time() - t0
+        out = keys.decrypt(out_ct, N)
+        errs = np.abs(out - np.sort(x))
+        return dt, float(errs.max()), float(errs.mean())
+
+    warm_s, wmax, wavg = one(seed=0)
+    print(f"N={N} warm-up (incl. compile): {warm_s:.2f}s maxerr {wmax:.2e}",
+          file=sys.stderr)
+    rows = []
+    for t in range(trials):
+        dt, emax, eavg = one(seed=t)  # seed 0 repeats warm-up's input
+        rows.append((dt, emax, eavg))
+        print(f"N={N} trial {t}: {dt:.2f}s maxerr {emax:.2e}",
+              file=sys.stderr)
+    memax = float(np.max([r[1] for r in rows] + [wmax]))
+    meavg = float(np.mean([r[2] for r in rows] + [wavg]))
+    if "bootstraps_fired" in info:
+        info["bootstraps_fired"] = len(info["bootstraps_fired"]) // (
+            trials + 1)
+    return {
+        "N": N, "trials": trials,
+        "mean_time_s": round(float(np.mean([r[0] for r in rows])), 3),
+        "warmup_s": round(warm_s, 3),
+        "max_err_log2": round(float(np.log2(max(memax, 1e-300))), 2),
+        "avg_err_log2": round(float(np.log2(max(meavg, 1e-300))), 2),
+        "config": info,
+    }
 
 
 def main():
@@ -129,10 +226,11 @@ def main():
     ap.add_argument("--algo", default="direct",
                     choices=["direct", "mehp24", "kway"])
     ap.add_argument("--sizes", type=int, nargs="+", default=[4, 8])
-    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--trials", type=int, default=1)
     ap.add_argument("--ring", type=int, default=2048)
     ap.add_argument("--depth", type=int, default=None,
-                    help="default: depth meter (direct) / 36")
+                    help="default: depth meter (direct) / 36 (mehp24) / "
+                         "40+bootstrap (kway)")
     ap.add_argument("--dg", type=int, default=None,
                     help="default: params registry per N")
     ap.add_argument("--df", type=int, default=None)
@@ -144,35 +242,37 @@ def main():
                     help="force a JAX platform (the container pins the axon "
                          "TPU; cpu matches the reference's insecure-fast "
                          "test mode)")
+    ap.add_argument("--subprocess-per-N", action="store_true",
+                    help="re-exec each size in a fresh process")
     args = ap.parse_args()
 
     if args.platform == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    _enable_cache()
 
     os.makedirs(args.out, exist_ok=True)
     total = []
     for N in args.sizes:
-        rows = []
-        for t in range(args.trials):
-            dt, emax, eavg = run_one(args.algo, N, args.ring, args.depth,
-                                     seed=t, dg=args.dg, df=args.df,
-                                     comp=args.comp)
-            rows.append((dt, emax, eavg))
-            print(f"N={N} trial {t}: {dt:.2f}s maxerr {emax:.2e}",
-                  file=sys.stderr)
-        mt = float(np.mean([r[0] for r in rows]))
-        memax = float(np.max([r[1] for r in rows]))
-        meavg = float(np.mean([r[2] for r in rows]))
-        summary = {
-            "N": N, "trials": args.trials, "mean_time_s": round(mt, 3),
-            "max_err_log2": round(float(np.log2(max(memax, 1e-300))), 2),
-            "avg_err_log2": round(float(np.log2(max(meavg, 1e-300))), 2),
-        }
+        if args.subprocess_per_N:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--algo", args.algo, "--sizes", str(N),
+                   "--trials", str(args.trials), "--ring", str(args.ring),
+                   "--comp", str(args.comp), "--out", args.out]
+            for flag in ("depth", "dg", "df", "platform"):
+                v = getattr(args, flag)
+                if v is not None:
+                    cmd += [f"--{flag}", str(v)]
+            res = subprocess.run(cmd, stdout=subprocess.PIPE)
+            summary = json.loads(
+                res.stdout.decode().strip().splitlines()[-1])[0]
+        else:
+            summary = run_size(args.algo, N, args.ring, args.depth,
+                               args.dg, args.df, args.comp, args.trials)
+            with open(os.path.join(args.out, f"N{N}_summary.txt"), "w") as f:
+                json.dump(summary, f, indent=1)
         total.append(summary)
-        with open(os.path.join(args.out, f"N{N}_summary.txt"), "w") as f:
-            json.dump(summary, f, indent=1)
     with open(os.path.join(args.out, "total_results.txt"), "w") as f:
         json.dump({"algo": args.algo, "results": total}, f, indent=1)
     print(json.dumps(total))

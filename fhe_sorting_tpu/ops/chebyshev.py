@@ -125,8 +125,10 @@ class ChebyshevPS:
             if combo is not None:
                 # chunk the row axis: bounds the [R, 2, L, n] output + digit
                 # temporaries (N=1024's ~100 segments would spike HBM), and
-                # chunks of a fixed size share one compiled program
-                CH = 32
+                # chunks of a fixed size share one compiled program; at ring
+                # 2^17 a 32-row chunk is a ~1.5 GB temp, so large rings cap
+                # the chunk at 8
+                CH = 32 if ev.ctx.params.ring_n <= (1 << 14) else 8
                 baby_list = [babies[i] for i in range(1, k + 1)]
                 leaf_cts = []
                 for lo in range(0, len(leaves), CH):

@@ -62,13 +62,25 @@ def _bound_state(ev: Evaluator, dev, rot_pack, relin_pack, gs):
 
 
 def scan_rotation_indices(N: int, ring_n: int) -> set:
-    """Key set for ScanDirectSort: the sharded set (babies, shared giants,
-    folds) plus the single incremental batch-offset step P."""
+    """MINIMAL key set for ScanDirectSort: {1, np, P} + the fold steps.
+
+    Each full-chain key-switch key is ~290 MB at ring 2^17/depth 32, so the
+    key count decides whether the whole-phase program fits HBM (the 29-key
+    set of the per-op path OOM'd the v5e by 4.4 GB).  Baby steps are
+    generated INCREMENTALLY (rot by 1 each), giant-step accumulations are
+    Horner chains (one rot by np per term), and batch offsets advance by
+    one rot-by-P per scan iteration - so only the fold rotations
+    (num_slots >> i, all powers of two) need direct keys."""
     max_batch = ring_n // 2
     P = min(N, max_batch // N)
-    idx = rotation_indices_sharded(N, ring_n)
+    num_slots = N * P
+    np_ = min(_default_np(P, N), P)
+    idx = {1, np_}
     if N // P > 1:
         idx.add(P)
+    for i in range(1, int(math.log2(P)) + 1):
+        idx.add(num_slots >> i)
+    idx.discard(0)
     return idx
 
 
@@ -166,24 +178,29 @@ class ScanDirectSort:
         # ---- phase 1: constructRank ----------------------------------------
         def p1_body(u_data, _):
             u = Ciphertext(u_data, *meta0)
-            babies = [u if i == 0 else srt.rot.rotate(u, i)
-                      for i in range(np_)]
+            # incremental baby steps: rot-by-1 chain (one key, serialized
+            # key-switch temps instead of np_ concurrent ModUps)
+            babies = [u]
+            for i in range(1, np_):
+                babies.append(ev.rotate(babies[-1], 1))
             babies = [b.set_slots(num_slots) for b in babies]
             base = srt._mask_block(num_slots, 0, N)
+            # Horner giant accumulation: sum_j rot(T_j, j*np) with only the
+            # step-np key, walking j high -> low
             shifted = None
-            for j in range(J):
+            for j in range(J - 1, -1, -1):
                 T = None
                 for i in range(np_):
                     r = (np_ * j + i) * N + j * np_
                     term = ev.mult_plain_at(babies[i], base, roll=r)
                     T = term if T is None else ev.add(T, term)
-                T = srt.rot.rotate(T, j * np_)
-                shifted = T if shifted is None else ev.add(shifted, T)
+                shifted = T if shifted is None else ev.add(
+                    T, ev.rotate(shifted, np_))
             c = srt.comp.compare(p1_body.dup, shifted,
                                  SignFunc.CompositeSign, cfg)
             # incremental batch offset: u <- rot(u, P) for the next batch
             if nb > 1:
-                u_next = srt.rot.rotate(u, P).data
+                u_next = ev.rotate(u, P).data
             else:
                 u_next = u_data
             return u_next, remember("cmp", c).data
@@ -200,7 +217,7 @@ class ScanDirectSort:
                     cs = c_data[None]
                 rank = self._fold_stack(cs, meta_cells["cmp"])
                 for i in range(1, int(math.log2(P)) + 1):
-                    rank = ev.add(rank, srt.rot.rotate(rank, num_slots >> i))
+                    rank = ev.add(rank, ev.rotate(rank, num_slots >> i))
                 rank = rank.set_slots(N)
                 rank = ev.sub(rank, 0.5)
                 self._rank_meta = (rank.level, rank.sdeg, rank.slots)
@@ -213,21 +230,22 @@ class ScanDirectSort:
             ri = ev._sub_pt(imr, pt, ev._dev)
             ri = srt.ps.evaluate(ri, coeffs)
             masked = ev.mult(ri, input2)
-            pre = ev.rotate_precompute(masked)
-            mrots = [
-                srt.rot.rotate_hoisted(masked, pre, i) if i else masked
-                for i in range(np_)
-            ]
+            # incremental pre-rotations (rot-by-1 chain; replaces the
+            # hoisted per-i rotations that needed keys 1..np_-1)
+            mrots = [masked]
+            for j in range(1, np_):
+                mrots.append(ev.rotate(mrots[-1], 1))
             base2 = srt._mask_block(num_slots, 0, N)
+            # Horner giant accumulation with the single step-np key
             inner = None
-            for i in range(I2):
+            for i in range(I2 - 1, -1, -1):
                 tmp = None
                 for j in range(np_):
                     r = (np_ * i + j) * N - j
                     term = ev.mult_plain_at(mrots[j], base2, roll=r)
                     tmp = term if tmp is None else ev.add(tmp, term)
-                tmp = srt.rot.rotate(tmp, i * np_)
-                inner = tmp if inner is None else ev.add(inner, tmp)
+                inner = tmp if inner is None else ev.add(
+                    tmp, ev.rotate(inner, np_))
             return None, remember("inner", inner).data
 
         def phase2(rank_data, data, dev, rot_pack, relin_pack):
@@ -260,9 +278,9 @@ class ScanDirectSort:
                 out = Ciphertext(inners[nb - 1], *meta_i)
                 for b in range(nb - 2, -1, -1):
                     out = ev.add(Ciphertext(inners[b], *meta_i),
-                                 srt.rot.rotate(out, P))
+                                 ev.rotate(out, P))
                 for i in range(1, int(math.log2(P)) + 1):
-                    out = ev.add(out, srt.rot.rotate(out, num_slots >> i))
+                    out = ev.add(out, ev.rotate(out, num_slots >> i))
                 out = out.set_slots(N)
                 self._out_meta = (out.level, out.sdeg, out.slots)
                 return out.data

@@ -161,9 +161,13 @@ def test_kway_reference_shape_multdepth40():
     ring 4096: N=16 (k=2, M=4, d_g=3, d_f=2 per KWaySort235Test.cpp:98-222)
     with at least TWO real bootstraps firing mid-sort, err < 0.01."""
     from fhe_sorting_tpu.core.bootstrap import Bootstrapper
-    from fhe_sorting_tpu.models.kway.sorter import Sorter as KWaySorter
 
-    ctx = Context(CkksParams(ring_n=4096, mult_depth=40, secret_hamming=64,
+    # composite scaling: the 28-bit chain's C2S/S2C plaintext quantization
+    # wrecks bootstrap precision at ring >= 2^10 (found round 4 - this test
+    # previously never ran: its import was broken); q0/Delta = 4 with
+    # msg_scale_down=4 keeps m/q0 <= 1/16 for [0,1] messages
+    ctx = Context(CkksParams(ring_n=4096, mult_depth=40, scale_bits=56,
+                             comp=2, base_limbs=4, secret_hamming=64,
                              first_mod_bits=30))
     keys = Keys.generate(ctx, seed=0)
     keys.gen_conj_key()
@@ -178,7 +182,7 @@ def test_kway_reference_shape_multdepth40():
 
     def bfn(ct):
         fired.append(ct.level)
-        return bs.bootstrap(ct)
+        return bs.bootstrap(ct, msg_scale_down=4.0)
 
     k, M = 2, 4
     N = k ** M
