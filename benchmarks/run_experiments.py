@@ -79,8 +79,9 @@ def build_sorter(algo: str, N: int, ring: int, depth: int | None,
         # composite scaling (Delta = 2^56): the 28-bit chain's C2S/S2C
         # plaintext quantization wrecks bootstrap precision at ring >= 2^10
         # (max err ~0.2 at ring 4096); the comp=2 chain bootstraps [0,1]
-        # messages at ~5e-3.  first_mod_bits=30 makes q0/Delta = 4, and
-        # msg_scale_down=4 keeps m/q0 <= 1/16 (asin residual < 1e-5).
+        # messages at ~5e-3.  first_mod_bits=30 enlarges BOTH bottom
+        # primes, so q0/Delta = 16 and [0,1] messages sit at m/q0 <= 1/16
+        # (asin residual < 1e-5) with no level-costing pre-scale.
         ctx = Context(CkksParams(ring_n=ring, mult_depth=depth,
                                  scale_bits=56, comp=2, base_limbs=4,
                                  secret_hamming=64, first_mod_bits=30))
@@ -98,7 +99,7 @@ def build_sorter(algo: str, N: int, ring: int, depth: int | None,
 
         def bfn(ct):
             fired.append(ct.level)
-            return bs.bootstrap(ct, msg_scale_down=4.0)
+            return bs.bootstrap(ct)
 
         sorter = KWayAdapter(ev, N, bootstrap_fn=bfn)
         cfg = SignConfig(CompositeSignConfig(3, dg, df), mult_depth=depth)

@@ -155,23 +155,29 @@ def _choose_prime_chain(params: CkksParams):
 
     base = [take_nearest(unit) for _ in range(params.base_limbs)]
     if params.first_mod_bits is not None:
-        # replace limb 0 with an NTT prime near 2^first_mod_bits (scan
-        # downward; the around-Delta pool never reaches this size).  Capped
-        # at 30: primes within a bit of 2^31 break the u32 lazy-reduction
-        # headroom in modmath (empirically: decrypt blows up at fmb=31).
+        # replace the bottom `comp` limbs with NTT primes near
+        # 2^first_mod_bits (scan downward; the around-Delta pool never
+        # reaches this size).  All `comp` bottom limbs are enlarged because
+        # the bootstrap's ModRaise base q0 is their PRODUCT: at comp=2 this
+        # gives q0/Delta = 2^(comp*fmb - scale_bits) = 16 at fmb=30, so
+        # [0,1] messages sit at m/q0 <= 1/16 (asin residual < 1e-5) with NO
+        # message pre-scaling (which would cost levels the lazy-bootstrap
+        # callers do not have).  Capped at 30: primes within a bit of 2^31
+        # break the u32 lazy-reduction headroom in modmath (empirically:
+        # decrypt blows up at fmb=31).
         assert params.first_mod_bits <= 30, (
             "first_mod_bits > 30 exceeds the u32 chain's headroom")
         k = (1 << params.first_mod_bits) // m
-        q0 = None
-        while k > 0:
+        found = []
+        while k > 0 and len(found) < params.comp:
             cand = k * m + 1
             if cand < 2**31 and cand not in used and primes_mod.is_prime(cand):
-                q0 = cand
-                break
+                found.append(cand)
+                used.add(cand)
             k -= 1
-        assert q0 is not None, "no NTT prime near 2^first_mod_bits"
-        used.add(q0)
-        base[0] = q0
+        assert len(found) == params.comp, \
+            "not enough NTT primes near 2^first_mod_bits"
+        base[: params.comp] = found
     # limb order: base primes at the bottom, then scaling primes such that
     # the *last* limb is dropped first (within a level, in lvl_primes order:
     # the level's first-listed prime occupies the outermost limb).

@@ -232,9 +232,20 @@ class ShardedDirectSort:
         shard = batch_sharding(self.mesh)
         repl = replicated(self.mesh)
         self._args = (off_perm, off_kb, off_ka)
+        if "limb" in self.mesh.axis_names:
+            # 2D mesh: batch-shard the per-batch state AND limb-shard the
+            # ciphertext/KSK RNS planes; GSPMD inserts the base-extension /
+            # rescale collectives along the limb axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_sh = NamedSharding(self.mesh, P(None, "limb", None))
+            key_sh = NamedSharding(self.mesh, P("batch", None, "limb", None))
+            in_sh = (data_sh, shard, key_sh, key_sh)
+        else:
+            in_sh = (repl, shard, shard, shard)
         self._jitted = jax.jit(
             step,
-            in_shardings=(repl, shard, shard, shard),
+            in_shardings=in_sh,
             out_shardings=repl,
         )
         # abstract pass pins _out_meta (and all meta cells) before execution

@@ -25,6 +25,17 @@ def make_mesh(n_devices: int | None = None, axis: str = "batch") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def make_mesh_2d(n_batch: int, n_limb: int,
+                 axes: tuple = ("batch", "limb")) -> Mesh:
+    """2D mesh: independent ciphertext work items on one axis, RNS limb
+    planes on the other (the two natural mesh dimensions of this domain,
+    SURVEY.md section 5)."""
+    devs = jax.devices()
+    n = n_batch * n_limb
+    assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
+    return Mesh(np.array(devs[:n]).reshape(n_batch, n_limb), axes)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "batch") -> NamedSharding:
     """Shard the leading (stacked-ciphertext) axis; replicate the rest."""
     return NamedSharding(mesh, P(axis))

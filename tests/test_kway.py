@@ -164,8 +164,8 @@ def test_kway_reference_shape_multdepth40():
 
     # composite scaling: the 28-bit chain's C2S/S2C plaintext quantization
     # wrecks bootstrap precision at ring >= 2^10 (found round 4 - this test
-    # previously never ran: its import was broken); q0/Delta = 4 with
-    # msg_scale_down=4 keeps m/q0 <= 1/16 for [0,1] messages
+    # previously never ran: its import was broken); q0/Delta = 16 (both
+    # bottom primes 30-bit) keeps m/q0 <= 1/16 for [0,1] messages
     ctx = Context(CkksParams(ring_n=4096, mult_depth=40, scale_bits=56,
                              comp=2, base_limbs=4, secret_hamming=64,
                              first_mod_bits=30))
@@ -182,7 +182,7 @@ def test_kway_reference_shape_multdepth40():
 
     def bfn(ct):
         fired.append(ct.level)
-        return bs.bootstrap(ct, msg_scale_down=4.0)
+        return bs.bootstrap(ct)
 
     k, M = 2, 4
     N = k ** M
