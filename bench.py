@@ -11,11 +11,12 @@ a modulus chain verified against the 128-bit logQP budget, so the
 comparison is at matching security.  vs_baseline = baseline_s / our_s.
 
 Structure (round-3 verdict #1/#2):
-  * The measured sort is the WHOLE-PHASE path (parallel/direct_scan.py):
-    constructRank and rotationIndexCheck each run as ONE jitted XLA
-    program, so a sort is 2 dispatches instead of ~10^3 per-op programs.
-    The per-op dispatch storm is what wedged the TPU relay's D2H path in
-    the round-3 artifact (BENCH_r03: a 0.5s-bound phase measured 1287s).
+  * The measured sort is the STAGED path (parallel/direct_staged.py):
+    ~a dozen jitted stage programs per sort instead of ~10^3 per-op
+    dispatches.  The per-op dispatch storm is what wedged the TPU relay's
+    D2H path in the round-3 artifact (BENCH_r03: a 0.5s-bound phase
+    measured 1287s); whole-phase single programs are too large for the
+    remote XLA compiler at ring 2^17 (compile-helper OOM).
   * Every N runs in a FRESH worker subprocess (--worker), so one wedged
     process cannot poison later measurements; the orchestrator retries a
     worker whose result smells wedged (err transfer failed or wall-clock
@@ -68,8 +69,8 @@ def worker(args) -> dict:
     from fhe_sorting_tpu.ops.sign import (
         CompositeSignConfig, SignConfig,
     )
-    from fhe_sorting_tpu.parallel.direct_scan import (
-        ScanDirectSort, scan_rotation_indices,
+    from fhe_sorting_tpu.parallel.direct_staged import (
+        StagedDirectSort, scan_rotation_indices,
     )
     from fhe_sorting_tpu.utils import roofline
     from fhe_sorting_tpu.utils.depth_meter import measure_direct_sort_depth
@@ -107,7 +108,7 @@ def worker(args) -> dict:
     keys = Keys.generate(ctx, seed=0)
     keys.gen_rotation_keys(sorted(scan_rotation_indices(n_arr, ring)))
     ev = Evaluator(ctx, keys, jit_ops=False)
-    srt = ScanDirectSort(ev, n_arr, cfg)
+    srt = StagedDirectSort(ev, n_arr, cfg)
     print(f"# setup {time.time()-t0:.1f}s (ring {ring}, depth {depth}, "
           f"Lq={ctx.num_q}, K={ctx.num_sp}, {len(keys.rot)} rot keys)",
           file=sys.stderr)
@@ -116,11 +117,8 @@ def worker(args) -> dict:
     vals = rng.permutation(n_arr) / n_arr + 0.5 / n_arr
     ct = keys.encrypt(vals)
 
-    t0 = time.time()
-    srt.build(ct)
-    print(f"# build (trace) {time.time()-t0:.1f}s", file=sys.stderr)
-
-    # warm-up = compile (persistent-cached) + first run, per phase
+    # warm-up = trace + compile (persistent-cached) + first run, per phase
+    srt.verbose = True
     t0 = time.time()
     rank = srt.construct_rank(ct)
     rank.data.block_until_ready()
@@ -128,6 +126,7 @@ def worker(args) -> dict:
     out = srt.index_check(rank, ct)
     out.data.block_until_ready()
     t2 = time.time()
+    srt.verbose = False
     print(f"# warm-up (incl. compile): constructRank {t1-t0:.1f}s, "
           f"rotationIndexCheck {t2-t1:.1f}s", file=sys.stderr)
 
@@ -165,9 +164,16 @@ def worker(args) -> dict:
           f"rotationIndexCheck {p2_s:.3f}s", file=sys.stderr)
 
     # per-phase roofline: % of single-chip speed-of-light (verdict #7)
-    sol1, bd1 = roofline.accumulate_sol(ctx, srt.phase_stats["constructRank"])
+    pstats = srt.phase_stats()
+    # tallies accumulate per dispatch across warm-up + trials: normalize to
+    # one sort
+    runs = 1 + args.trials
+    for c in pstats.values():
+        for k in list(c):
+            c[k] = max(1, c[k] // runs)
+    sol1, bd1 = roofline.accumulate_sol(ctx, pstats["constructRank"])
     sol2, bd2 = roofline.accumulate_sol(
-        ctx, srt.phase_stats["rotationIndexCheck"])
+        ctx, pstats["rotationIndexCheck"])
     sol_s = sol1 + sol2
     pct = 100.0 * sol_s / best
     print(f"# roofline: SoL bound {sol_s:.2f}s -> {pct:.1f}% of "

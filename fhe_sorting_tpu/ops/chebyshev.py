@@ -52,16 +52,28 @@ class ChebyshevPS:
     def __init__(self, ev: Evaluator):
         self.ev = ev
 
-    def evaluate(self, x: Ciphertext, coeffs) -> Ciphertext:
-        ev = self.ev
+    def _plan_shape(self, coeffs):
+        """(trimmed coeffs, degree, baby count k, giant degrees)."""
         c = _trim(np.asarray(coeffs, dtype=np.float64))
         d = len(c) - 1
         if d == 0:
             raise ValueError("constant polynomial: nothing to evaluate")
-
         # baby-step count: power of two near sqrt(d) (power of two keeps the
         # giant-step ladder a pure doubling chain)
         k = 1 << max(1, int(round(np.log2(max(d, 2) ** 0.5))))
+        gs = []
+        g = 2 * k
+        while g <= d:
+            gs.append(g)
+            g *= 2
+        return c, d, k, gs
+
+    def powers(self, x: Ciphertext, coeffs) -> list:
+        """Stage 1 of PS: the shared Chebyshev powers as a flat list
+        [T_1..T_k, T_2k, T_4k, ...] (the seam for staged execution)."""
+        ev = self.ev
+        _, d, k, gs = self._plan_shape(coeffs)
+
         # doubling identities cost ONE level each: the factor 2 is a
         # self-addition (free), never a scalar multiply (which would force an
         # extra rescale level - OpenFHE's EvalChebyshevSeriesPS likewise
@@ -81,10 +93,25 @@ class ChebyshevPS:
                 babies[i] = ev.sub(dbl(ev.mult(a, b)), x)
 
         giants = {k: babies[k]}
-        g = k
-        while 2 * g <= d:
-            giants[2 * g] = ev.sub(dbl(ev.square(giants[g])), 1.0)
-            g *= 2
+        for g in gs:
+            giants[g] = ev.sub(dbl(ev.square(giants[g // 2])), 1.0)
+        return [babies[i] for i in range(1, k + 1)] + [giants[g] for g in gs]
+
+    def combine(self, pows: list, coeffs) -> Ciphertext:
+        """Stage 2 of PS: leaf linear combinations + divmod-tree fold over
+        the powers produced by `powers`."""
+        c, d, k, gs = self._plan_shape(coeffs)
+        babies = {i + 1: pows[i] for i in range(k)}
+        giants = {k: babies[k]}
+        for idx, g in enumerate(gs):
+            giants[g] = pows[k + idx]
+        return self._combine_impl(c, d, k, babies, giants)
+
+    def evaluate(self, x: Ciphertext, coeffs) -> Ciphertext:
+        return self.combine(self.powers(x, coeffs), coeffs)
+
+    def _combine_impl(self, c, d, k, babies, giants) -> Ciphertext:
+        ev = self.ev
 
         # Pass 1 (host, numpy): build the divmod tree, collecting every
         # degree<=k segment as a "leaf" row.

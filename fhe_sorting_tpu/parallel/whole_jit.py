@@ -36,6 +36,8 @@ class WholeJit:
         self._jitted = None
         self._in_meta = None
         self._out_meta = None
+        self.calls = 0             # dispatch count (for roofline weighting)
+        self.op_counts = {}        # per-dispatch logical-op tally
 
     def _build(self, cts):
         ev = self.ev
@@ -59,9 +61,15 @@ class WholeJit:
                 out_box["meta"] = [(o.level, o.sdeg, o.slots) for o in out]
                 return [o.data for o in out]
 
-        # abstract pass pins the output metadata before compilation
+        # abstract pass pins the output metadata before compilation, and
+        # records the per-dispatch op tally for roofline accounting
+        from collections import Counter
+
+        ev.op_stats, saved = Counter(), ev.op_stats
         jax.eval_shape(fn, [jax.ShapeDtypeStruct(c.data.shape, c.data.dtype)
                             for c in cts], *self._packs)
+        self.op_counts = dict(ev.op_stats)
+        ev.op_stats = saved
         self._out_meta = out_box["meta"]
         self._jitted = jax.jit(fn)
 
@@ -70,6 +78,7 @@ class WholeJit:
             cts = [cts]
         if self._jitted is None:
             self._build(cts)
+        self.calls += 1
         out = self._jitted([c.data for c in cts], *self._packs)
         if isinstance(self._out_meta, tuple):
             return Ciphertext(out, *self._out_meta)
