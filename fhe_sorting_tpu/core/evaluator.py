@@ -94,6 +94,13 @@ class Evaluator:
         # (op, level) -> count, incremented at Python dispatch (trace) time.
         from collections import Counter
         self.op_stats: Counter = Counter()
+        # Whole-graph tracers (parallel/whole_jit.py) set this to a traced
+        # int32 zero: mixing it into the galois perms of mult_plain_at
+        # keeps the mask gathers IN-GRAPH.  Without it, gathering a
+        # concrete cached plaintext by a concrete perm constant-folds at
+        # trace time, materializing one multi-MB mask constant per roll
+        # (observed: 128 x 36 MB = 4.6 GB of HLO globals at ring 2^17).
+        self._trace_token = None
         # Plaintext-encode memo: sort graphs re-request the same masks every
         # call (trace time), and each encode costs an embedding FFT + CRT +
         # host NTT + H2D copy.  LRU-bounded by entries AND device bytes (a
@@ -452,6 +459,8 @@ class Evaluator:
         # np.roll(v, s) = slot left-rotation by -s
         g = self.ctx.galois_element_rot(-roll)
         perm = self.ctx.galois_perm(g)
+        if self._trace_token is not None:
+            perm = perm + self._trace_token  # keep the gather in-graph
         self.op_stats[("mult_pt", a.level)] += 1
         f = (self._jit_mult_pt_perm if self.jit_ops
              else self._mult_plain_perm_impl)

@@ -45,20 +45,23 @@ from .direct_sharded import rotation_indices_sharded
 
 
 @contextmanager
-def _bound_state(ev: Evaluator, dev, rot_pack, relin_pack, gs):
+def _bound_state(ev: Evaluator, dev, rot_pack, relin_pack, gs, token=None):
     """Temporarily rebind the evaluator's device state + key-switch keys to
     (possibly traced) values.  The whole-phase programs take keys and tables
     as ARGUMENTS: captured-constant closures would ship ~9 GB of KSK through
-    the relay at every compile and defeat the persistent compile cache."""
+    the relay at every compile and defeat the persistent compile cache.
+    `token` (a traced int32 zero) keeps mask-roll gathers in-graph - see
+    Evaluator._trace_token."""
     keys = ev.keys
-    old = (keys.rot, keys.relin, ev._dev)
+    old = (keys.rot, keys.relin, ev._dev, ev._trace_token)
     keys.rot = {g: KeySwitchKey(kb, ka) for g, (kb, ka) in zip(gs, rot_pack)}
     keys.relin = KeySwitchKey(*relin_pack)
     ev._dev = dev
+    ev._trace_token = token
     try:
         yield
     finally:
-        keys.rot, keys.relin, ev._dev = old
+        keys.rot, keys.relin, ev._dev, ev._trace_token = old
 
 
 def scan_rotation_indices(N: int, ring_n: int) -> set:

@@ -40,19 +40,21 @@ class WholeJit:
         self.op_counts = {}        # per-dispatch logical-op tally
 
     def _build(self, cts):
+        import jax.numpy as jnp
+
         ev = self.ev
         keys_obj = ev.keys
         gs = tuple(sorted(keys_obj.rot))
         rot_pack = tuple((keys_obj.rot[g].kb, keys_obj.rot[g].ka)
                          for g in gs)
         relin_pack = (keys_obj.relin.kb, keys_obj.relin.ka)
-        self._packs = (ev._dev, rot_pack, relin_pack)
+        self._packs = (ev._dev, rot_pack, relin_pack, jnp.int32(0))
         in_meta = tuple((c.level, c.sdeg, c.slots) for c in cts)
         self._in_meta = in_meta
         out_box = {}
 
-        def fn(datas, dev, rot_pack, relin_pack):
-            with _bound_state(ev, dev, rot_pack, relin_pack, gs):
+        def fn(datas, dev, rot_pack, relin_pack, token):
+            with _bound_state(ev, dev, rot_pack, relin_pack, gs, token):
                 ins = [Ciphertext(d, *m) for d, m in zip(datas, in_meta)]
                 out = self.call(ins)
                 if isinstance(out, Ciphertext):
