@@ -156,6 +156,7 @@ def worker(args) -> dict:
     last_out = out if err != err else None  # for the late-decrypt fallback
     del out
     gc.collect()
+    time.sleep(15.0)   # let the relay's deferred frees catch up
     times, phases = [], []
     for t in range(args.trials):
         try:
@@ -171,10 +172,10 @@ def worker(args) -> dict:
             if last_out is not None:
                 last_out = out2  # newest candidate (output ct is ~25 MB)
         except Exception as e:  # noqa: BLE001 - deferred-free HBM pressure
-            print(f"# trial {t} failed ({type(e).__name__}); gc + retry",
-                  file=sys.stderr)
+            print(f"# trial {t} failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); gc + retry", file=sys.stderr)
             gc.collect()
-            time.sleep(10.0)
+            time.sleep(30.0)
         finally:
             rank = out2 = None
             gc.collect()

@@ -66,6 +66,8 @@ class StagedDirectSort:
         self.coeffs = doubled_sinc_coefficients(N, stretch=stretch)
         self._stages: dict = {}
         self.verbose = False
+        # fused PS (F+G in one program) unless its compile proves too big
+        self.split_ps = False
 
     # -- stage infrastructure ---------------------------------------------
 
@@ -212,15 +214,26 @@ class StagedDirectSort:
 
             x = self._run(f"Esub{b}", stage_sub, [imr])
 
-            def stage_f(cts):
-                return self.ps.powers(cts[0], self.coeffs)
+            if self.split_ps:
+                def stage_f(cts):
+                    return self.ps.powers(cts[0], self.coeffs)
 
-            powers = self._run("F", stage_f, [x])
+                powers = self._run("F", stage_f, [x])
 
-            def stage_g(cts):
-                return self.ps.combine(cts, self.coeffs)
+                def stage_g(cts):
+                    return self.ps.combine(cts, self.coeffs)
 
-            sinc = self._run("G", stage_g, powers)
+                sinc = self._run("G", stage_g, powers)
+            else:
+                # fused PS: one program, ONE output ciphertext per batch -
+                # the split F->G seam hands ~70 power ciphertexts (~3.2 GB
+                # at N=1024) across the stage boundary every batch, and the
+                # relay's deferred frees turn that churn into OOM on any
+                # second sort in the same process
+                def stage_fg(cts):
+                    return self.ps.evaluate(cts[0], self.coeffs)
+
+                sinc = self._run("FG", stage_fg, [x])
 
             def stage_h(cts):
                 ri, inp = cts
