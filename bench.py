@@ -53,6 +53,10 @@ def _enable_cache(jax):
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    try:
+        jax.config.update("jax_explain_cache_misses", True)
+    except Exception:  # noqa: BLE001 - older jax
+        pass
 
 
 def worker(args) -> dict:
@@ -160,6 +164,9 @@ def worker(args) -> dict:
     times, phases = [], []
     for t in range(args.trials):
         try:
+            # last trial prints per-stage runtimes (compile-free: every
+            # stage already executed in warm-up)
+            srt.verbose = t == args.trials - 1
             t0 = time.time()
             rank = srt.construct_rank(ct)
             rank.data.block_until_ready()
