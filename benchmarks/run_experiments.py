@@ -131,7 +131,11 @@ def build_sorter(algo: str, N: int, ring: int, depth: int | None,
                 N, ring, SignConfig(CompositeSignConfig(3, dg, df))
             )["mult_depth"]
         else:
-            depth = 36
+            # registry per-N depths (Mehp24SortTest.cpp:33-66) + margin for
+            # this implementation's stretched indicator provisioning
+            from fhe_sorting_tpu.utils.params_registry import MEHP24_DEPTH
+
+            depth = MEHP24_DEPTH.get(N, 40) + 2
 
     ctx = Context(CkksParams(
         ring_n=ring, mult_depth=depth,
