@@ -236,10 +236,11 @@ class ShardedDirectSort:
             # 2D mesh: batch-shard the per-batch state AND limb-shard the
             # ciphertext/KSK RNS planes; GSPMD inserts the base-extension /
             # rescale collectives along the limb axis
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import NamedSharding, PartitionSpec as PSpec
 
-            data_sh = NamedSharding(self.mesh, P(None, "limb", None))
-            key_sh = NamedSharding(self.mesh, P("batch", None, "limb", None))
+            data_sh = NamedSharding(self.mesh, PSpec(None, "limb", None))
+            key_sh = NamedSharding(self.mesh,
+                                   PSpec("batch", None, "limb", None))
             in_sh = (data_sh, shard, key_sh, key_sh)
         else:
             in_sh = (repl, shard, shard, shard)
