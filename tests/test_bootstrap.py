@@ -150,3 +150,29 @@ def test_bootstrap_end_to_end(env):
     got = keys.decrypt(out, 128)
     assert out.level < ct_low.level
     np.testing.assert_allclose(got, z, atol=2e-2)
+
+
+@pytest.mark.slow
+def test_bootstrap_level_budget_34_ring8192():
+    """Reference-shape level budgets at scale (kway_adapter.h:56-62 ships
+    {4,4}/{5,5} at ring 2^17): budgets (3,3) and (4,4) on the composite
+    chain at ring 2^13, full 4096-slot packing, [0,1] messages.
+    Measured round 4: max err 1.27e-3 for both budgets (artifact:
+    experiment_results/bootstrap/level_budgets.json)."""
+    ctx = Context(CkksParams(ring_n=8192, mult_depth=28, scale_bits=56,
+                             comp=2, base_limbs=4, secret_hamming=64,
+                             first_mod_bits=30))
+    keys = Keys.generate(ctx, seed=0)
+    keys.gen_conj_key()
+    ev = Evaluator(ctx, keys)
+    bs = Bootstrapper(ev, K=13.0, sin_degree=255, level_budget=(3, 3),
+                      asin_terms=2)
+    keys.gen_rotation_keys(sorted(bs.required_rotations()))
+    nh = 4096
+    rng = np.random.default_rng(3)
+    z = rng.uniform(0, 1.0, nh)
+    ct = keys.encrypt(z)
+    out = bs.bootstrap(ev.level_reduce(ct, 8))
+    got = keys.decrypt(out, nh)
+    assert out.level < ctx.params.mult_depth
+    assert float(np.abs(got - z).max()) < 1e-2
