@@ -66,10 +66,18 @@ class Decomposer:
 
     def decompose(self, r: int):
         """Signed steps summing to r mod wrap, restricted to steps whose
-        (signed) rotation keys exist; falls back from NAF to all-positive
-        binary when a negative power has no key."""
-        parts = self._decompose_inner(r)
-        if all(p in self.signed for p in parts):
+        (signed) rotation keys exist.  Fallback order: NAF over power-of-two
+        keys -> closest-signed greedy (handles sparse bases like the signed
+        powers of four the staged MEHP24 path uses: each matrix-ladder step
+        2^a or 2^a - 2^b composes from <= 4 keys) -> all-positive greedy."""
+        try:
+            parts = self._decompose_inner(r)
+            if all(p in self.signed for p in parts):
+                return parts
+        except ValueError:
+            pass
+        parts = self._closest_signed(r)
+        if parts is not None:
             return parts
         # all-positive greedy fallback on the canonical representative
         rr = r % self.wrap
@@ -85,6 +93,23 @@ class Decomposer:
             out.append(s)
             rr -= s
         return out
+
+    def _closest_signed(self, r: int, max_steps: int = 12):
+        """Repeatedly subtract the available signed step closest to the
+        remainder; exact and short for near-geometric bases."""
+        if not self.signed:
+            return None
+        r = r % self.wrap
+        if r > self.wrap // 2:
+            r -= self.wrap
+        out = []
+        while r and len(out) < max_steps:
+            s = min(self.signed, key=lambda k: abs(r - k))
+            if abs(r - s) >= abs(r):
+                return None  # no progress
+            out.append(s)
+            r -= s
+        return out if r == 0 else None
 
     def _decompose_inner(self, r: int):
         r = r % self.wrap

@@ -80,6 +80,12 @@ class WholeJit:
             cts = [cts]
         if self._jitted is None:
             self._build(cts)
+        got = tuple((c.level, c.sdeg, c.slots) for c in cts)
+        assert got == self._in_meta, (
+            f"stage reused with different ciphertext metadata: built for "
+            f"{self._in_meta}, called with {got} - align inputs or use a "
+            f"separate stage name"
+        )
         self.calls += 1
         out = self._jitted([c.data for c in cts], *self._packs)
         if isinstance(self._out_meta, tuple):
