@@ -25,34 +25,45 @@ import numpy as np
 from ..core.cipher import Ciphertext
 from ..core.evaluator import Evaluator
 from ..models.direct_sort import DirectSort
-from ..ops.compare import Comparison
 from ..ops.rotation import RotationComposer
-from ..ops.sign import CompositeSignConfig, SignConfig, SignFunc
+from ..ops.sign import SignConfig
 from .direct_staged import StagedDirectSort
 from .whole_jit import WholeJit
 
 
-def hybrid_staged_keys(N: int, ring_n: int) -> set:
-    """StagedDirectSort's incremental/Horner keys + signed powers of four
-    (placement ladders compose from them); folds compose too."""
-    from .direct_scan import scan_rotation_indices
+def hybrid_staged_keys(N: int, ring_n: int, max_array: int = 256) -> set:
+    """Placement-phase key basis, sized for full-chain HBM residency.
 
-    idx = {k for k in scan_rotation_indices(N, ring_n)
-           if k in (1,) or (k & (k - 1)) == 0 and k <= N}  # {1, np, P}
-    # keep the scan set's small members; compose the big folds
-    idx = {1}
-    from ..models.direct_sort import _default_np
-
-    P = min(N, (ring_n // 2) // N)
-    idx.add(min(_default_np(P, N), P))
-    if N // P > 1:
-        idx.add(P)
-    p = 1
-    while p < ring_n // 2:
-        idx.update({p, -p})
-        p *= 4
-    idx.discard(0)
-    return idx
+    Exactly the steps the tiled placement requests, keyed where a direct
+    key is cheap and composed where it is not:
+      * batch offsets b*max_array (Hrot);
+      * sumColumnsToTarget's positive halving ladder max_array/2 .. 1
+        (sort_algo.h:825-861) - keyed directly;
+      * transposeColumnTarget's steps T>>i with T = s(s-1)/2 = 0b0111..10..0
+        (sort_algo.h:863-891) - NOT keyed: they greedy-compose from the
+        power-of-two backbone (<= log2(s) hops each, at end-of-chain levels
+        where a key-switch runs on ~1/10 of the limbs);
+      * {-1, -size}: the negative NAF anchors, so the negative fold steps
+        (-(T>>i) = -(2^k) + 2^m, -s) compose in <= 2 hops.
+    Full-chain keys at depth ~48 / ring 2^17 are ~0.5 GB each; this basis
+    plus scan_rotation_indices(N) stays under ~19 keys (~10 GB HBM).
+    """
+    nh = ring_n // 2
+    size = min(N, max_array)
+    num_batch = max(1, N // max_array)
+    ks = {1, -1, -size}
+    for b in range(1, num_batch):
+        ks.add((b * max_array) % nh)
+    s = size >> 1
+    while s:
+        ks.add(s)
+        s >>= 1
+    p = size
+    while p < nh:
+        ks.add(p)   # power-of-two backbone for the transpose greedy
+        p <<= 1
+    ks.discard(0)
+    return ks
 
 
 class StagedHybridSort:
@@ -70,7 +81,8 @@ class StagedHybridSort:
         self.size = min(N, max_array)
         assert self.num_slots <= ring // 2
         self.base = StagedDirectSort(ev, N, sign_cfg)
-        self.rot = RotationComposer(ev, sorted(hybrid_staged_keys(N, ring)))
+        self.rot = RotationComposer(
+            ev, sorted(hybrid_staged_keys(N, ring, max_array)))
         self.srt = DirectSort(ev, N, rot=self.rot)
         # sort_algo.h:968-981: dg 4 below N=512, else 5
         self.dgi = indicator_dg or (4 if N < 512 else 5)
@@ -93,13 +105,30 @@ class StagedHybridSort:
                   file=sys.stderr)
         return out
 
+    def _ind_coeff_plan(self):
+        """Per-iteration coefficient plan for the placement indicator's two
+        CompositeSign<3> branches (dg=self.dgi, df=2), final 0.5 folded."""
+        from ..ops.sign import F3, G3
+
+        plan = [(G3, f"g{i}") for i in range(self.dgi)]
+        plan += [(F3, f"f{i}") for i in range(2)]
+        cs, tag = plan[-1]
+        plan[-1] = (tuple(c * 0.5 for c in cs), tag + "s")
+        return plan
+
     def place(self, rank: Ciphertext, ct: Ciphertext) -> Ciphertext:
-        """rotationIndexCheckHybrid (sort_algo.h:893-1047), staged."""
+        """rotationIndexCheckHybrid (sort_algo.h:893-1047), staged.
+
+        The indicator (2 CompositeSign branches) runs as ONE jitted program
+        per sign iteration over BOTH branches - the whole-indicator program
+        was the compile-size risk at ring 2^17 (cf. direct_staged's B
+        stages)."""
+        from ..ops.sign import eval_odd_poly7
+
         ev, N = self.ev, self.N
         num_slots, num_batch, size = self.num_slots, self.num_batch, self.size
         stretch = 1.0 + 8.0 / N
-        cfg_i = SignConfig(CompositeSignConfig(3, self.dgi, 2))
-        comp = Comparison(ev)
+        c_ind = 0.5 / (N * stretch)
 
         def stage_prep(cts):
             r = cts[0]
@@ -122,11 +151,7 @@ class StagedHybridSort:
         rots_rank = [x[0] for x in rots]
         rots_inp = [x[1] for x in rots]
 
-        def stage_ind(cts):
-            rm, inp = cts
-            rm = comp.indicator(rm, 0.5 / (N * stretch),
-                                SignFunc.CompositeSign, cfg_i)
-            return ev.mult(inp, rm)
+        plan = self._ind_coeff_plan()
 
         masked = []
         for b in range(num_batch):
@@ -138,13 +163,30 @@ class StagedHybridSort:
             def stage_sub(cts, sub_mask=sub_mask):
                 sub_pt = ev.make_plaintext(sub_mask, cts[0].level,
                                            cts[0].sdeg, slots=num_slots)
-                return ev.rsub(sub_pt, cts[0])
+                rm = ev.rsub(sub_pt, cts[0])
+                return [ev.add(rm, c_ind), ev.sub(rm, c_ind)]
+
+            def stage_iter(cts, cs):
+                return [eval_odd_poly7(ev, cts[0], cs),
+                        eval_odd_poly7(ev, cts[1], cs)]
+
+            def stage_comb(cts):
+                y1, y2, inp = cts
+                # c1*(1-c2) with c = 0.5*s + 0.5 (scale folded into the
+                # last iteration): (y1+0.5)*(0.5-y2)
+                ind = ev.mult(ev.add(y1, 0.5), ev.rsub(0.5, y2))
+                return ev.mult(inp, ind)
 
             terms = []
             for k in range(num_batch):
-                rm = self._run(f"Hsub{b}", stage_sub, [rots_rank[k]])
-                terms.append(self._run("Hind", stage_ind,
-                                       [rm, rots_inp[k]]))
+                ys = self._run(f"Hsub{b}", stage_sub, [rots_rank[k]])
+                for cs, tag in plan:
+                    ys = self._run(
+                        f"HB{tag}",
+                        (lambda csx: lambda cts: stage_iter(cts, csx))(cs),
+                        ys)
+                terms.append(self._run(
+                    "Hcomb", stage_comb, [ys[0], ys[1], rots_inp[k]]))
 
             def stage_place(cts, b=b):
                 acc = cts[0]
