@@ -77,14 +77,20 @@ def main():
           f"vs budget {budget} -> {'OK' if sec_ok else 'INSECURE'}",
           file=sys.stderr)
 
+    # phase-scoped key residency: full-chain keys are ~630 MB each at
+    # dnum 5 / 120 limbs, so constructRank's scan keys and the placement
+    # basis never coexist in HBM (their union OOM'd the chip).
+    import gc
+
+    scan_steps = set(scan_rotation_indices(n_arr, ring))
+    place_steps = set(hybrid_staged_keys(n_arr, ring))
     keys = Keys.generate(ctx, seed=0)
-    steps = sorted(set(scan_rotation_indices(n_arr, ring))
-                   | set(hybrid_staged_keys(n_arr, ring)))
-    keys.gen_rotation_keys(steps)
+    keys.gen_rotation_keys(sorted(scan_steps))
     ev = Evaluator(ctx, keys, jit_ops=False)
     srt = StagedHybridSort(ev, n_arr, cfg)
     print(f"# setup {time.time()-t0:.1f}s (depth {depth}, Lq={ctx.num_q}, "
-          f"K={ctx.num_sp}, {len(keys.rot)} rot keys)", file=sys.stderr)
+          f"K={ctx.num_sp}, {len(keys.rot)} phase-1 rot keys)",
+          file=sys.stderr)
 
     rng = np.random.default_rng(0)
     vals = rng.permutation(n_arr) / n_arr + 0.5 / n_arr
@@ -92,36 +98,52 @@ def main():
     expected = np.sort(vals)
 
     srt.verbose = True
+    srt.base.verbose = True
     t0 = time.time()
     rank = srt.base.construct_rank(ct)
     rank.data.block_until_ready()
     t1 = time.time()
+    print(f"# warm-up constructRank: {t1-t0:.1f}s", file=sys.stderr)
+    p1s = []
+    for _ in range(args.trials):
+        t0 = time.time()
+        r2 = srt.base.construct_rank(ct)
+        r2.data.block_until_ready()
+        p1s.append(time.time() - t0)
+        rank = r2
+    print(f"# constructRank trials: {['%.2f' % t for t in p1s]}",
+          file=sys.stderr)
+
+    # swap key sets: drop scan-only keys + phase-1 stage programs
+    srt.base._stages.clear()
+    for s in scan_steps - place_steps:
+        keys.rot.pop(ctx.galois_element_rot(s % (ring // 2)), None)
+    gc.collect()
+    time.sleep(10.0)
+    keys.gen_rotation_keys(sorted(place_steps))
+    print(f"# phase 2: {len(keys.rot)} resident rot keys", file=sys.stderr)
+
+    t1 = time.time()
     out = srt.place(rank, ct)
     out.data.block_until_ready()
     t2 = time.time()
-    srt.verbose = False
-    print(f"# warm-up: constructRank {t1-t0:.1f}s, place {t2-t1:.1f}s",
-          file=sys.stderr)
+    print(f"# warm-up place: {t2-t1:.1f}s", file=sys.stderr)
 
     got = keys.decrypt(out, n_arr)
     err = float(np.abs(got - expected).max())
     print(f"# max sort error (decrypt): {err:.2e} (out level {out.level} "
           f"of {depth})", file=sys.stderr)
 
-    times, phases = [], []
+    p2s = []
     for _ in range(args.trials):
-        rank = out2 = None
         t0 = time.time()
-        rank = srt.base.construct_rank(ct)
-        rank.data.block_until_ready()
-        t1 = time.time()
         out2 = srt.place(rank, ct)
         out2.data.block_until_ready()
-        t2 = time.time()
-        times.append(t2 - t0)
-        phases.append((t1 - t0, t2 - t1))
-    best = min(times)
-    p1, p2 = phases[times.index(best)]
+        p2s.append(time.time() - t0)
+        out2 = None
+    p1, p2 = min(p1s), min(p2s)
+    best = p1 + p2
+    print(f"# place trials: {['%.2f' % t for t in p2s]}", file=sys.stderr)
 
     row = {
         "metric": f"directsort_hybrid_n{n_arr}_ring{ring}_wall_clock",

@@ -32,36 +32,31 @@ from .whole_jit import WholeJit
 
 
 def hybrid_staged_keys(N: int, ring_n: int, max_array: int = 256) -> set:
-    """Placement-phase key basis, sized for full-chain HBM residency.
+    """Placement-phase key basis: {±1} + powers of four + batch offsets.
 
-    Exactly the steps the tiled placement requests, keyed where a direct
-    key is cheap and composed where it is not:
-      * batch offsets b*max_array (Hrot);
-      * sumColumnsToTarget's positive halving ladder max_array/2 .. 1
-        (sort_algo.h:825-861) - keyed directly;
-      * transposeColumnTarget's steps T>>i with T = s(s-1)/2 = 0b0111..10..0
-        (sort_algo.h:863-891) - NOT keyed: they greedy-compose from the
-        power-of-two backbone (<= log2(s) hops each, at end-of-chain levels
-        where a key-switch runs on ~1/10 of the limbs);
-      * {-1, -size}: the negative NAF anchors, so the negative fold steps
-        (-(T>>i) = -(2^k) + 2^m, -s) compose in <= 2 hops.
-    Full-chain keys at depth ~48 / ring 2^17 are ~0.5 GB each; this basis
-    plus scan_rotation_indices(N) stays under ~19 keys (~10 GB HBM).
+    Full-chain rotation keys at depth 48 / ring 2^17 / dnum 5 are ~630 MB
+    EACH, so the basis is chosen for HBM residency, not hop count: every
+    placement step (sumColumnsToTarget's halving ladder, sort_algo.h:825-861;
+    transposeColumnTarget's s(s-1)/2 >> i ladder, sort_algo.h:863-891;
+    the -1/-255-style negative fixups) greedy-decomposes over signed
+    {±1, 4^a} in <= 13 hops (measured), and every one of those hops runs at
+    end-of-chain levels where a key-switch touches ~1/10 of the limbs.
+    9 keys (~5.7 GB) at N=512 instead of the >= 17 a 2-hop NAF basis needs
+    (~11 GB - the round-4 OOM).
+
+    The constructRank phase uses scan_rotation_indices(N) instead; the TPU
+    driver (benchmarks/run_hybrid_tpu.py) swaps the resident key set
+    between phases to keep peak HBM at max(phase), not the union.
     """
     nh = ring_n // 2
-    size = min(N, max_array)
     num_batch = max(1, N // max_array)
-    ks = {1, -1, -size}
+    ks = {1, -1}
     for b in range(1, num_batch):
         ks.add((b * max_array) % nh)
-    s = size >> 1
-    while s:
-        ks.add(s)
-        s >>= 1
-    p = size
+    p = 4
     while p < nh:
-        ks.add(p)   # power-of-two backbone for the transpose greedy
-        p <<= 1
+        ks.add(p)
+        p *= 4
     ks.discard(0)
     return ks
 
@@ -188,16 +183,60 @@ class StagedHybridSort:
                 terms.append(self._run(
                     "Hcomb", stage_comb, [ys[0], ys[1], rots_inp[k]]))
 
-            def stage_place(cts, b=b):
-                acc = cts[0]
-                for c in cts[1:]:
-                    acc = ev.add(acc, c)
-                acc = self.srt.sum_columns_to_target(
-                    acc, N // num_batch, b, True)
-                return self.srt.transpose_column_target(
-                    acc, N // num_batch, b, True)
+            # binary-path folds (sum_columns_to_target /
+            # transpose_column_target, sort_algo.h:824-891) as SEGMENTED
+            # rotate-add programs: the powers-of-4 key basis composes each
+            # fold step from up to ~13 hops, so a whole ladder in one
+            # program would cross the ring-2^17 compile-size limit.
+            def seg(cts, steps, mask=None):
+                c = cts[0].set_slots(size * size)
+                if len(cts) > 1:
+                    for extra in cts[1:]:
+                        c = ev.add(c, extra.set_slots(size * size))
+                for s in steps:
+                    c = ev.add(c, self.rot.rotate(c, s))
+                if mask is not None:
+                    c = ev.mult_plain_at(c, mask)
+                return c
 
-            masked.append(self._run(f"Hplace{b}", stage_place, terms))
+            def ladder(initial_step, path, halve_shift=1):
+                steps = []
+                st = initial_step
+                for bit in path:
+                    steps.append(-st if bit else st)
+                    st >>= halve_shift
+                return steps
+
+            path = self.srt._binary_path(b, size)
+            sum_steps = ladder(size >> 1, path)
+            m_col = np.zeros(size * size)
+            m_col[b::size] = 1.0
+            T = size * (size - 1) // 2
+            tr_steps = ladder(T, path)
+            m_row = np.zeros(size * size)
+            m_row[size * b : size * (b + 1)] = 1.0
+
+            acc = self._run(
+                f"HplaceS{b}",
+                (lambda ss, mc: lambda cts: seg(cts, ss, mc))(
+                    sum_steps, m_col),
+                terms)
+            # transpose split: the first steps are hop-heaviest
+            cut = max(1, len(tr_steps) // 3)
+            acc = self._run(
+                f"HplaceT{b}a",
+                (lambda ss: lambda cts: seg(cts, ss))(tr_steps[:cut]),
+                [acc])
+            acc = self._run(
+                f"HplaceT{b}b",
+                (lambda ss: lambda cts: seg(cts, ss))(
+                    tr_steps[cut:2 * cut]),
+                [acc])
+            masked.append(self._run(
+                f"HplaceT{b}c",
+                (lambda ss, mr: lambda cts: seg(cts, ss, mr))(
+                    tr_steps[2 * cut:], m_row),
+                [acc]))
 
         def stage_fin(cts):
             return ev.add_many(cts)

@@ -22,15 +22,24 @@ from fhe_sorting_tpu.parallel.hybrid_staged import (
 
 
 def test_hybrid_staged_keys_small():
-    """Key set stays minimal: batch offsets + halving ladder + power-of-two
-    backbone + the two negative NAF anchors (full-chain keys are ~0.5 GB
-    each at depth 48 / ring 2^17, so the count decides HBM fit)."""
+    """Key set stays minimal ({±1} + powers of 4 + batch offsets):
+    full-chain keys are ~630 MB each at depth 48 / ring 2^17 / dnum 5, so
+    the count decides HBM fit, and every placement fold step must still
+    greedy-decompose over the basis."""
     idx = hybrid_staged_keys(512, 131072)
-    assert {1, -1, -256, 256} <= idx           # anchors + Hrot offset
-    assert {128, 64, 32, 16, 8, 4, 2} <= idx   # sumColumns ladder
-    assert {512, 1024, 32768} <= idx           # transpose greedy backbone
-    # the whole set is small enough to hold full-chain keys in HBM
-    assert len(idx) <= 19
+    assert {1, -1, 256} <= idx                    # anchors + Hrot offset
+    assert {4, 16, 64, 1024, 4096, 16384} <= idx  # powers-of-4 backbone
+    assert len(idx) <= 10
+    # every fold amount the N=512 placement requests decomposes
+    from fhe_sorting_tpu.ops.rotation import DecomposeAlgo, Decomposer
+
+    dec = Decomposer(sorted(idx), 65536, DecomposeAlgo.NAF)
+    T = 256 * 255 // 2
+    for a in ([256 >> i for i in range(1, 9)] + [T >> i for i in range(8)]
+              + [-1, -255]):
+        parts = dec.decompose(a)
+        assert sum(parts) % 65536 == a % 65536, a
+        assert len(parts) <= 13, (a, parts)
 
 
 @pytest.mark.slow
