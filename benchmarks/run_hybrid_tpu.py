@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--out", default="experiment_results/direct_tpu/"
                                      "N512_hybrid.json")
     args = ap.parse_args()
+    args.trials = max(1, args.trials)
 
     import jax
 
@@ -84,6 +85,21 @@ def main():
 
     scan_steps = set(scan_rotation_indices(n_arr, ring))
     place_steps = set(hybrid_staged_keys(n_arr, ring))
+
+    # paper-check both phase residencies BEFORE touching the chip
+    # (round-4 lesson: two key-basis OOMs discovered on-device)
+    from fhe_sorting_tpu.utils.hbm_budget import check_phase
+
+    nb = max(1, n_arr // 256)
+    for rep in (
+        check_phase(ctx, len(scan_steps), 4, label="constructRank"),
+        # place: 2*nb rotated inputs + nb accumulators + rank + input
+        check_phase(ctx, len(place_steps), 3 * nb + 2, label="place"),
+    ):
+        print(f"# HBM {rep['label']}: {rep['used_gb']} GB of "
+              f"{rep['budget_gb']} GB ({rep['n_rot_keys']} keys x "
+              f"{rep['ksk_mb']} MB)", file=sys.stderr)
+
     keys = Keys.generate(ctx, seed=0)
     keys.gen_rotation_keys(sorted(scan_steps))
     ev = Evaluator(ctx, keys, jit_ops=False)
@@ -160,7 +176,8 @@ def main():
         "baseline_src": "kway_k2 total_results.txt N=512 (reference CPU)",
         "vs_baseline": round(4625.21 / best, 2),
     }
-    print(json.dumps(row))
+    print(json.dumps(row), flush=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(row, f, indent=1)
 

@@ -11,11 +11,12 @@ This module stages that placement for the TPU the same way
 direct_staged.py stages the flagship: construct_rank reuses
 StagedDirectSort's A-D stages; the placement runs as per-(b,k) indicator
 programs (shared where ciphertext metadata allows) + per-b binary-path
-fold programs.  The rotation-key set is minimized: StagedDirectSort's
-{1, np, P} plus signed powers of four (binary-path steps 2^a and the
-transpose steps 2^a - 2^b compose via the Decomposer's
-closest-signed-greedy), with the fold rotations composed rather than
-keyed - ~15 full-chain keys total.
+fold programs.  The placement-phase rotation-key basis is
+{±1, ±max_array} + positive powers of four + batch offsets
+(hybrid_staged_keys below, ~10 keys): every fold/transpose step
+greedy-decomposes over it in a handful of hops, and the TPU driver swaps
+this basis in AFTER constructRank's scan keys are dropped, so peak HBM is
+max(phase), not the union of both key sets.
 """
 
 from __future__ import annotations
@@ -50,7 +51,10 @@ def hybrid_staged_keys(N: int, ring_n: int, max_array: int = 256) -> set:
     """
     nh = ring_n // 2
     num_batch = max(1, N // max_array)
-    ks = {1, -1}
+    # -max_array keyed too: the b>=1 transpose fixup needs rotate(-(size-1))
+    # = [-max_array, +1]-class chains; without it the all-positive greedy
+    # costs 13 sequential end-of-chain key-switches (round-4 advice).
+    ks = {1, -1, -max_array}
     for b in range(1, num_batch):
         ks.add((b * max_array) % nh)
     p = 4
