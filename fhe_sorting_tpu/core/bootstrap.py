@@ -179,9 +179,15 @@ class Bootstrapper:
         if self.asin_terms == 0:
             return y
         w = (2.0 * np.pi) ** 2
-        # m ~ y * (1 + y^2 * (w/6 + y^2 * 3 w^2/40)), Horner in y^2
+        # m ~ y * (1 + y^2*(w/6 + y^2*(3w^2/40 + y^2 * 15w^3/336))),
+        # Horner in y^2 (arcsin(x)/x = 1 + x^2/6 + 3x^4/40 + 15x^6/336 ...)
         t = ev.square(y)
-        if self.asin_terms >= 2:
+        if self.asin_terms >= 3:
+            inner = ev.add(ev.mult(t, 15.0 * w ** 3 / 336.0),
+                           3.0 * w * w / 40.0)
+            inner = ev.add(ev.mult(inner, t), w / 6.0)
+            poly = ev.add(ev.mult(inner, t), 1.0)
+        elif self.asin_terms >= 2:
             inner = ev.add(ev.mult(t, 3.0 * w * w / 40.0), w / 6.0)
             poly = ev.add(ev.mult(inner, t), 1.0)
         else:

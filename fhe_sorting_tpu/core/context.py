@@ -358,6 +358,39 @@ class Context:
         self._root_exp = self._compute_root_exponents()
         self._exp_pos = {int(e): i for i, e in enumerate(self._root_exp)}
         self._galois_perm_cache = {}
+        # structured (gather-free) automorphism tables, built lazily on
+        # first use (core/auto_affine.py)
+        self._auto_tables = None
+        self._galois_affine_cache = {}
+
+    # -- structured automorphism ------------------------------------------
+
+    def auto_tables(self):
+        """Per-limb mod-DFT tables for the affine automorphism path
+        (core/auto_affine.py); built once, lazily."""
+        if self._auto_tables is None:
+            from . import auto_affine
+            from .ntt_mxu import split_n
+
+            n = self.params.ring_n
+            self._auto_tables = auto_affine.build_tables(
+                tuple(self.all_primes), n, split_n(n)[0])
+        return self._auto_tables
+
+    def galois_affine(self, g: int):
+        """Per-g selector matrices for the affine automorphism path."""
+        if g not in self._galois_affine_cache:
+            from . import auto_affine
+            from .ntt_mxu import split_n
+
+            n = self.params.ring_n
+            consts = auto_affine.build_consts(g, n, split_n(n)[0])
+            if isinstance(consts.row, jax.core.Tracer):
+                # under a trace jnp.asarray yields tracers; caching them
+                # would leak into later traces (same guard as galois_perm)
+                return consts
+            self._galois_affine_cache[g] = consts
+        return self._galois_affine_cache[g]
 
     # -- scale bookkeeping ------------------------------------------------
 

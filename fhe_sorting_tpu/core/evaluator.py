@@ -51,11 +51,12 @@ class DevState:
     pc: PrimeConsts                  # over all Q+P primes
     ks_plans: tuple                  # per-level KeySwitchPlan
     rescale_plans: tuple             # per-level RescalePlan
+    auto: object = None              # AffineAutoTables (gather-free rotate)
 
 
 tree_util.register_pytree_node(
     DevState,
-    lambda d: ((d.tables, d.pc, d.ks_plans, d.rescale_plans), None),
+    lambda d: ((d.tables, d.pc, d.ks_plans, d.rescale_plans, d.auto), None),
     lambda aux, ch: DevState(*ch),
 )
 
@@ -112,10 +113,20 @@ class Evaluator:
         self._pt_cache_entries = pt_cache_entries
         self._pt_cache_bytes = pt_cache_bytes
         self._pt_cache_used = 0
+        # Structured (gather-free) automorphisms: on for the MXU/four-step
+        # contexts (TPU at production rings), where the lane-axis gather is
+        # the measured SoL bottleneck; FHE_AFFINE_AUTO=0 disables,
+        # FHE_AFFINE_AUTO=force enables on any context (CPU tests).
+        import os as _os
+
+        _aff_env = _os.environ.get("FHE_AFFINE_AUTO", "1")
+        self.use_affine = (_aff_env == "force"
+                           or (_aff_env != "0" and ctx.ntt_impl == "mxu"))
         self._dev = DevState(
             tables=ctx.tables, pc=ctx.pc,
             ks_plans=tuple(ctx.ks_plans),
             rescale_plans=tuple(ctx.rescale_plans),
+            auto=ctx.auto_tables() if self.use_affine else None,
         )
         if jit_ops:
             self._jit_add_ct = jax.jit(self._add_ct_impl)
@@ -435,9 +446,10 @@ class Evaluator:
     def _mult_plain_perm_impl(self, a: Ciphertext, pt: Plaintext, perm,
                               dev) -> Ciphertext:
         """ct x sigma_g(pt): the plaintext is slot-rotated ON DEVICE by the
-        galois permutation (no key switch - plaintexts are not encrypted)."""
+        galois automorphism (no key switch - plaintexts are not encrypted)."""
         _, pc = self._active(dev, a.level)
-        d = barrett_mulmod(a.data, pt.data[:, perm][None], pc.p[None],
+        rolled = self._apply_auto(pt.data, perm, a.level, dev)
+        d = barrett_mulmod(a.data, rolled[None], pc.p[None],
                            pc.r2_32[None], pc.r2_32_shoup[None],
                            pc.p_inv32[None])
         return Ciphertext(d, a.level, 2, a.slots)
@@ -458,9 +470,22 @@ class Evaluator:
             return self.mult(a, pt)
         # np.roll(v, s) = slot left-rotation by -s
         g = self.ctx.galois_element_rot(-roll)
-        perm = self.ctx.galois_perm(g)
-        if self._trace_token is not None:
-            perm = perm + self._trace_token  # keep the gather in-graph
+        if self.use_affine:
+            from .auto_affine import AffineAutoConsts
+
+            perm = self.ctx.galois_affine(g)
+            if self._trace_token is not None:
+                # keep the matmuls in-graph (same reason as the gather
+                # token below: a concrete pt x concrete consts chain would
+                # constant-fold into one materialized mask per roll)
+                tok = self._trace_token.astype(jnp.int8)
+                perm = AffineAutoConsts(row=perm.row + tok,
+                                        lam=perm.lam + tok,
+                                        hot_a=perm.hot_a + tok)
+        else:
+            perm = self.ctx.galois_perm(g)
+            if self._trace_token is not None:
+                perm = perm + self._trace_token  # keep the gather in-graph
         self.op_stats[("mult_pt", a.level)] += 1
         f = (self._jit_mult_pt_perm if self.jit_ops
              else self._mult_plain_perm_impl)
@@ -599,9 +624,28 @@ class Evaluator:
 
     # -- rotations ---------------------------------------------------------
 
+    def _apply_auto(self, data, aff, level: int, dev: DevState,
+                    target: bool = False):
+        """sigma_g on eval-domain planes: structured matmuls when `aff` is
+        the affine-consts pytree, gather otherwise.  `target`: the data
+        lives on the extended (active Q + specials) basis."""
+        from .auto_affine import AffineAutoConsts, apply_affine
+
+        if isinstance(aff, AffineAutoConsts):
+            Ll = self.ctx.limbs_at(level)
+            if target:
+                lo, hi = self.ctx.num_q, self.ctx.num_q + self.ctx.num_sp
+                tq = dev.auto.slice(0, Ll)
+                tsp = dev.auto.slice(lo, hi)
+                dq = apply_affine(data[..., :Ll, :], aff, tq)
+                dsp = apply_affine(data[..., Ll:, :], aff, tsp)
+                return jnp.concatenate([dq, dsp], axis=-2)
+            return apply_affine(data, aff, dev.auto.slice(0, Ll))
+        return data[..., aff]
+
     def _automorphism_impl(self, a: Ciphertext, perm, ksk: KeySwitchKey,
                            dev: DevState) -> Ciphertext:
-        d = a.data[:, :, perm]
+        d = self._apply_auto(a.data, perm, a.level, dev)
         e0, e1 = self._keyswitch_core(d[1], a.level, ksk, dev)
         _, pc = self._active(dev, a.level)
         c0 = add_mod(d[0], e0, pc.p)
@@ -609,7 +653,9 @@ class Evaluator:
 
     def _rot_args(self, g: int):
         assert g in self.keys.rot, f"missing rotation key for galois {g}"
-        return self.ctx.galois_perm(g), self.keys.rot[g]
+        aff = (self.ctx.galois_affine(g) if self.use_affine
+               else self.ctx.galois_perm(g))
+        return aff, self.keys.rot[g]
 
     def rotate(self, a: Ciphertext, r: int) -> Ciphertext:
         """Left slot-rotation by r (EvalRotate parity; negative = right)."""
@@ -640,12 +686,13 @@ class Evaluator:
                              ksk: KeySwitchKey, dev: DevState) -> Ciphertext:
         """sigma_g(ModUp(x)) = ModUp(sigma_g(x)) up to gadget-annihilated
         extension noise, so the permutation applies to the extended digits."""
-        digits = pre[:, :, perm]
+        digits = self._apply_auto(pre, perm, a.level, dev, target=True)
         acc0, acc1 = self._inner_product(digits, a.level, ksk, dev)
         e0 = self._moddown(acc0, a.level, dev)
         e1 = self._moddown(acc1, a.level, dev)
         _, pc = self._active(dev, a.level)
-        c0 = add_mod(a.data[0][:, perm], e0, pc.p)
+        c0 = add_mod(self._apply_auto(a.data[0], perm, a.level, dev),
+                     e0, pc.p)
         return Ciphertext(jnp.stack([c0, e1]), a.level, a.sdeg, a.slots)
 
     def rotate_hoisted(self, a: Ciphertext, pre, r: int) -> Ciphertext:
