@@ -410,13 +410,19 @@ def main():
     ap.add_argument("--dnum", type=int, default=3)
     ap.add_argument("--worker", action="store_true",
                     help="internal: run one N in-process, print its JSON")
-    ap.add_argument("--budget-s", type=float, default=1500.0,
-                    help="overall wall-clock budget for all Ns + retries "
-                         "(round-4 lesson: must fit the driver's kill "
-                         "window; 1500 s is the round-3 value that "
-                         "returned rc=0)")
-    ap.add_argument("--attempt-timeout-s", type=float, default=700.0,
-                    help="per-worker-subprocess timeout")
+    ap.add_argument("--budget-s", type=float, default=2400.0,
+                    help="overall wall-clock budget for all Ns + retries. "
+                         "Must fit the driver's kill window: round 3 "
+                         "returned rc=0 after a >2000s run and round 4 was "
+                         "killed on a 4800s budget, so the window is in "
+                         "(~2500, 4800); 2400 keeps worst-case inside it. "
+                         "Streaming (below) makes even a kill recoverable.")
+    ap.add_argument("--attempt-timeout-s", type=float, default=1800.0,
+                    help="per-worker-subprocess timeout (the N=1024 worker "
+                         "needs ~20-25 min: the fused PS stage alone is a "
+                         "~12 min relay compile that no client-side cache "
+                         "removes; if it still overruns, the streamed "
+                         "N=128 line already carries the round)")
     args = ap.parse_args()
 
     if args.worker:

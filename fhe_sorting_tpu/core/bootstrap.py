@@ -44,8 +44,22 @@ import jax.numpy as jnp
 class Bootstrapper:
     def __init__(self, ev: Evaluator, slots: int | None = None,
                  K: float = 25.0, sin_degree: int = 255,
-                 level_budget: tuple = (1, 1), asin_terms: int = 0):
+                 level_budget: tuple = (1, 1), asin_terms: int = 0,
+                 rot=None, double_angle: int = 0):
+        """`rot`: optional RotationComposer routing every C2S/S2C rotation
+        (see LinearTransform.from_diagonals) - required at ring 2^17 where
+        keying all ~174 BSGS indices would need ~60 GB of HBM.
+
+        `double_angle`: r > 0 selects the UNIFORM-ternary-secret EvalMod
+        shape (OpenFHE's K_UNIFORM=512 regime): fit
+        cos((2*pi*K*v - pi/2)/2^r) at `sin_degree`, then apply r
+        double-angle steps y <- 2y^2 - 1 to recover sin(2*pi*K*v).  This
+        keeps the Chebyshev degree ~O(K/2^r) instead of O(K), at r extra
+        levels - the only way |I| <~ sqrt(n) of a dense secret fits an
+        evaluable polynomial."""
         self.ev = ev
+        self.rot = rot
+        self.double_angle = double_angle
         ctx = ev.ctx
         n = ctx.params.ring_n
         nh = n // 2
@@ -74,7 +88,8 @@ class Bootstrapper:
         f = float(ctx.scale_dec(0)) / float(self.q0)
         groups = c2s_factors(n, level_budget[0])
         self.c2s = [
-            LinearTransform.from_diagonals(ev, g, nh, scale=(f if i == 0 else None))
+            LinearTransform.from_diagonals(
+                ev, g, nh, scale=(f if i == 0 else None), rot=rot)
             for i, g in enumerate(groups)
         ]
         # S2C groups are scaled at apply time (factor depends on the input
@@ -82,10 +97,17 @@ class Bootstrapper:
         self._s2c_groups = s2c_factors(n, level_budget[1])
         self._s2c_cache = {}
 
-        # EvalMod: h(v) = sin(2 pi K v) / (2 pi) on [-1, 1]
-        self.sin_coeffs = chebyshev_fit(
-            lambda v: np.sin(2 * np.pi * K * v) / (2 * np.pi), sin_degree
-        )
+        # EvalMod: h(v) = sin(2 pi K v) / (2 pi) on [-1, 1] (sparse shape),
+        # or the double-angle seed cos((2 pi K v - pi/2)/2^r) (uniform)
+        if double_angle > 0:
+            self.sin_coeffs = chebyshev_fit(
+                lambda v: np.cos((2 * np.pi * K * v - np.pi / 2)
+                                 / (1 << double_angle)), sin_degree
+            )
+        else:
+            self.sin_coeffs = chebyshev_fit(
+                lambda v: np.sin(2 * np.pi * K * v) / (2 * np.pi), sin_degree
+            )
         # Small-angle correction: sin distorts the message by
         # sin(2 pi m)/(2 pi) = m - (2 pi)^2 m^3/6 + ...; inverting with the
         # arcsine series y + (2 pi)^2 y^3/6 + 3 (2 pi)^4 y^5/40 pushes the
@@ -176,6 +198,28 @@ class Bootstrapper:
         """sin(2 pi K v)/(2 pi) with `asin_terms` arcsine correction terms."""
         ev = self.ev
         y = self.ps.evaluate(v, self.sin_coeffs)
+        if self.double_angle > 0:
+            # y = cos((2 pi K v - pi/2)/2^r) -> r doublings -> sin(2 pi K v)
+            for _ in range(self.double_angle):
+                y = ev.sub(ev.mult(ev.square(y), 2.0), 1.0)
+            # m = arcsin(y)/(2 pi): Horner in t = y^2, with 1/(2 pi) folded
+            # into the polynomial coefficients (no extra level)
+            inv2pi = 1.0 / (2.0 * np.pi)
+            coefs = [c * inv2pi
+                     for c in (1.0, 1.0 / 6.0, 3.0 / 40.0, 15.0 / 336.0)
+                     ][: min(self.asin_terms, 3) + 1]
+            if len(coefs) == 1:
+                return ev.mult(y, coefs[0])
+            t = ev.square(y)
+            poly = None
+            for c in reversed(coefs):
+                if poly is None:
+                    poly = c                       # highest coefficient
+                elif isinstance(poly, float):
+                    poly = ev.add(ev.mult(t, poly), c)
+                else:
+                    poly = ev.add(ev.mult(poly, t), c)
+            return ev.mult(y, poly)
         if self.asin_terms == 0:
             return y
         w = (2.0 * np.pi) ** 2
@@ -240,7 +284,7 @@ class Bootstrapper:
         if key not in self._s2c_cache:
             self._s2c_cache[key] = [
                 LinearTransform.from_diagonals(
-                    ev, g, nh, scale=(f if i == 0 else None)
+                    ev, g, nh, scale=(f if i == 0 else None), rot=self.rot
                 )
                 for i, g in enumerate(self._s2c_groups)
             ]

@@ -113,15 +113,16 @@ class Evaluator:
         self._pt_cache_entries = pt_cache_entries
         self._pt_cache_bytes = pt_cache_bytes
         self._pt_cache_used = 0
-        # Structured (gather-free) automorphisms: on for the MXU/four-step
-        # contexts (TPU at production rings), where the lane-axis gather is
-        # the measured SoL bottleneck; FHE_AFFINE_AUTO=0 disables,
-        # FHE_AFFINE_AUTO=force enables on any context (CPU tests).
+        # Structured (gather-free) automorphisms (core/auto_affine.py).
+        # OPT-IN for now: measured on-chip at N=1024 the XLA lowering loses
+        # to the gather (the 16 digit-pair einsums materialize full-size
+        # s32 intermediates; needs the Pallas fusion treatment the NTT
+        # got).  FHE_AFFINE_AUTO=1 enables on MXU contexts, =force on any.
         import os as _os
 
-        _aff_env = _os.environ.get("FHE_AFFINE_AUTO", "1")
+        _aff_env = _os.environ.get("FHE_AFFINE_AUTO", "0")
         self.use_affine = (_aff_env == "force"
-                           or (_aff_env != "0" and ctx.ntt_impl == "mxu"))
+                           or (_aff_env == "1" and ctx.ntt_impl == "mxu"))
         self._dev = DevState(
             tables=ctx.tables, pc=ctx.pc,
             ks_plans=tuple(ctx.ks_plans),

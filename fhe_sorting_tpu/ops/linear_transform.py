@@ -48,18 +48,28 @@ class LinearTransform:
         assert M.shape == (slots, slots)
         self.ev = ev
         self.slots = slots
+        self.rot = None
         self.bs = max(1, int(np.sqrt(slots)))
         self.diags = matrix_diagonals(M)
 
     @classmethod
     def from_diagonals(cls, ev: Evaluator, diags: dict, slots: int,
-                       scale=None) -> "LinearTransform":
+                       scale=None, rot=None) -> "LinearTransform":
         """Build directly from {offset: vector} generalized diagonals (the
         FFT-factored bootstrap groups, core/fft_factors.py); baby-step count
-        sized to the actual diagonal spread."""
+        sized to the actual diagonal spread.
+
+        `rot`: optional RotationComposer.  When set, EVERY rotation routes
+        through it (no hoisting), so the transform runs with whatever key
+        basis the composer manages - including its lazy on-device LRU pool.
+        This is what makes bootstrap at ring 2^17 fit HBM: the (3,3)
+        factored chains need ~174 distinct BSGS indices and full-chain keys
+        are ~340 MB each (~60 GB if all keyed); the composer keeps a
+        bounded resident set instead (kway_adapter.h:56-62 scale parity)."""
         self = cls.__new__(cls)
         self.ev = ev
         self.slots = slots
+        self.rot = rot
         self.diags = ({d: np.asarray(v) * scale for d, v in diags.items()}
                       if scale is not None else dict(diags))
         nd = max(2, len(self.diags))
@@ -89,12 +99,13 @@ class LinearTransform:
             g = (d // bs) * bs
             groups.setdefault(g, []).append((d - g, vec))
 
-        pre = ev.rotate_precompute(ct)
+        pre = None if self.rot is not None else ev.rotate_precompute(ct)
         babies = {0: ct}
 
         def baby(b):
             if b not in babies:
-                babies[b] = ev.rotate_hoisted(ct, pre, b)
+                babies[b] = (self.rot.rotate(ct, b) if self.rot is not None
+                             else ev.rotate_hoisted(ct, pre, b))
             return babies[b]
 
         out = None
@@ -107,6 +118,7 @@ class LinearTransform:
                 term = ev.mult_plain_at(cb, pvec)
                 inner = term if inner is None else ev.add(inner, term)
             if g:
-                inner = ev.rotate(inner, g)
+                inner = (self.rot.rotate(inner, g) if self.rot is not None
+                         else ev.rotate(inner, g))
             out = inner if out is None else ev.add(out, inner)
         return out
