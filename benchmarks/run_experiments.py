@@ -114,6 +114,50 @@ def build_sorter(algo: str, N: int, ring: int, depth: int | None,
                 "bootstrap_level_budget": [2, 2], "bootstraps_fired": fired}
         return keys, sorter, cfg, enc, info
 
+    if algo == "bitonic":
+        # sort_algo.h:1067-1161 network; bootstrap when depth runs low
+        # (sort_algo.h:1110-1112) - same insecure-fast mode as the kway
+        # rows (ring <= 4096, sparse secret, levelBudget (2,2))
+        from fhe_sorting_tpu.core.bootstrap import Bootstrapper
+        from fhe_sorting_tpu.models.bitonic import BitonicSort
+
+        dg = dg if dg is not None else 2
+        df = df if df is not None else 2
+        depth = depth or 40
+        ctx = Context(CkksParams(ring_n=ring, mult_depth=depth,
+                                 scale_bits=56, comp=2, base_limbs=4,
+                                 secret_hamming=64, first_mod_bits=30))
+        keys = Keys.generate(ctx, seed=0)
+        keys.gen_conj_key()
+        ev = Evaluator(ctx, keys)
+        bs = Bootstrapper(ev, K=13.0, sin_degree=255, level_budget=(2, 2),
+                          asin_terms=2)
+        keys.gen_rotation_keys(sorted(
+            bs.required_rotations()
+            | {1 << i for i in range(ring.bit_length() - 2)}
+            | {-(1 << i) for i in range(ring.bit_length() - 2)}
+        ))
+        fired = []
+
+        def bfn(ct):
+            fired.append(ct.level)
+            return bs.bootstrap(ct, msg_scale_down=2.0)
+
+        # refresh threshold 20: the (2,2)-budget bootstrap lands at level
+        # ~19, so a lower threshold would re-fire immediately; one compare
+        # stage costs <= 15 levels, so 20 + 15 stays inside depth 40
+        sorter = BitonicSort(ev, N, normalize=1.0, bootstrap_fn=bfn,
+                             bootstrap_level=20)
+        cfg = SignConfig(CompositeSignConfig(3, dg, df), mult_depth=depth)
+
+        def enc(x):
+            return keys.encrypt(x, slots=N)
+
+        info = {"dg": dg, "df": df, "mult_depth": depth,
+                "bootstrap_level_budget": [2, 2],
+                "bootstraps_fired": fired}
+        return keys, sorter, cfg, enc, info
+
     # direct / mehp24: deep chain, no bootstrap
     if dg is None or df is None:
         from fhe_sorting_tpu.utils.params_registry import direct_sort_sign_cfg
@@ -229,7 +273,7 @@ def run_size(algo: str, N: int, ring: int, depth: int | None, dg, df,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", default="direct",
-                    choices=["direct", "mehp24", "kway"])
+                    choices=["direct", "mehp24", "kway", "bitonic"])
     ap.add_argument("--sizes", type=int, nargs="+", default=[4, 8])
     ap.add_argument("--trials", type=int, default=1)
     ap.add_argument("--ring", type=int, default=2048)

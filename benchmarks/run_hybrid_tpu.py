@@ -5,8 +5,9 @@ The reference's sort_hybrid tiles N>256 into 256-wide batches at ring 2^17
 dg 5 at N>=512) - the regime the round-3 verdict flagged as never run at
 size.  This driver runs the staged TPU formulation
 (parallel/hybrid_staged.py) at N=512, ring 2^17, on the 128-bit-classic
-modulus budget (comp=2 / Delta=2^56 chain, dnum=4 so logQP = 3500 <= 3524
-at depth 48), and writes a JSON artifact row.
+modulus budget (comp=2 / Delta=2^56 chain; dnum=5 keeps logQP ~= 3490 <=
+3524 at depth 48 - dnum=4 measured 3546, INSECURE), and writes a JSON
+artifact row.
 
 Usage: python -m benchmarks.run_hybrid_tpu [--n 512] [--depth 48]
        [--trials 1] [--out experiment_results/direct_tpu/N512_hybrid.json]
@@ -29,7 +30,7 @@ def main():
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--ring", type=int, default=131072)
     ap.add_argument("--depth", type=int, default=None)
-    ap.add_argument("--dnum", type=int, default=4)
+    ap.add_argument("--dnum", type=int, default=5)
     ap.add_argument("--trials", type=int, default=1)
     ap.add_argument("--out", default="experiment_results/direct_tpu/"
                                      "N512_hybrid.json")

@@ -41,12 +41,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--ring", type=int, default=131072)
-    ap.add_argument("--depth", type=int, default=40)
+    # depth 42 (reference: 40): the uniform-secret bootstrap consumes ~24
+    # levels (C2S 3 + PS(270) 9 + 4 doublings + asin 4 + S2C 3 + repack),
+    # and one k=2 stage (CompositeSign(3,3,2) + masking) needs ~18 - two
+    # levels more headroom than the reference's own accounting, still
+    # 28*(4+84+30) = 3304 bits <= the 3524-bit 128-bit budget.
+    ap.add_argument("--depth", type=int, default=42)
     ap.add_argument("--dnum", type=int, default=3)
     ap.add_argument("--level-budget", type=int, default=3)
     ap.add_argument("--boot-k", type=float, default=512.0)
-    ap.add_argument("--sin-degree", type=int, default=606)
-    ap.add_argument("--double-angle", type=int, default=3)
+    ap.add_argument("--sin-degree", type=int, default=270)
+    ap.add_argument("--double-angle", type=int, default=4)
     ap.add_argument("--lazy-keys", type=int, default=6)
     ap.add_argument("--trials", type=int, default=1)
     ap.add_argument("--out", default="experiment_results/kway_tpu/"
@@ -101,7 +106,7 @@ def main():
                    | {-(1 << i) for i in range(4)})
     rot = RotationComposer(ev, basis, lazy_key_budget=args.lazy_keys)
     bs = Bootstrapper(ev, K=args.boot_k, sin_degree=args.sin_degree,
-                      level_budget=(lb, lb), asin_terms=3,
+                      level_budget=(lb, lb), asin_terms=2,
                       double_angle=args.double_angle, rot=rot)
     keys.gen_rotation_keys(sorted(
         set(basis) | rotation_indices_kway(
@@ -166,7 +171,7 @@ def main():
         "security_128bit": sec_ok, "secret": "uniform_ternary",
         "mult_depth": args.depth, "level_budget": [lb, lb],
         "eval_mod": {"K": args.boot_k, "sin_degree": args.sin_degree,
-                     "double_angle": args.double_angle, "asin_terms": 3},
+                     "double_angle": args.double_angle, "asin_terms": 2},
         "rot_keys_direct": len(keys.rot), "lazy_pool": args.lazy_keys,
         "baseline_ref_s": 472.66,
         "baseline_src": "kway_k2 total_results.txt N=16 (reference CPU, "
