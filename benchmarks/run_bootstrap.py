@@ -68,13 +68,19 @@ def main():
     keys.gen_conj_key()
     ev = Evaluator(ctx, keys)
     if args.uniform:
-        # K sized ~6 sigma of I for a dense ternary secret at this ring
-        K = 512.0 if ring >= 65536 else 128.0
-        da = 4 if K >= 512 else 2
-        deg = args.sin_degree or (270 if K >= 512 else 400)
+        # K ~ 6 sigma of I for a dense ternary secret: sigma ~ sqrt(h/12),
+        # h ~ 2n/3 (K=128 at ring 2^14 measured a tail-clip noise blowup)
+        K = {4096: 128.0, 8192: 128.0, 16384: 256.0, 32768: 256.0,
+             65536: 512.0}.get(ring, 512.0)
+        # double-angle count keeps the Chebyshev range K/2^da = 32
+        da = int(np.log2(K)) - 5
+        deg = args.sin_degree or 270
     else:
-        K, da = 13.0, 0
-        deg = args.sin_degree or 255
+        # sparse secrets also ride the double-angle path: the cos-seed +
+        # arcsin-in-y form measured ~4 orders better than the direct
+        # sin/(2 pi) fit (1.3e-3 -> ~1e-7 class at ring 4096)
+        K, da = 13.0, 2
+        deg = args.sin_degree or 64
     basis = sorted({1 << i for i in range(ring.bit_length() - 2)})
     rot = RotationComposer(ev, basis, lazy_key_budget=8)
     bs = Bootstrapper(ev, K=K, sin_degree=deg, level_budget=(lb, lb),

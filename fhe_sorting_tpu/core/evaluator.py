@@ -113,6 +113,8 @@ class Evaluator:
         self._pt_cache_entries = pt_cache_entries
         self._pt_cache_bytes = pt_cache_bytes
         self._pt_cache_used = 0
+        self._pt_host_cache_bytes = 16 << 30
+        self._pt_host_used = 0
         # Structured (gather-free) automorphisms (core/auto_affine.py).
         # OPT-IN for now: measured on-chip at N=1024 the XLA lowering loses
         # to the gather (the 16 digit-pair einsums materialize full-size
@@ -196,7 +198,12 @@ class Evaluator:
             np.complex128 if np.iscomplexobj(values) else np.float64
         )
         s = slots if slots is not None else len(values)
-        key = (values.tobytes(), values.dtype.char, level, sdeg, s)
+        # hash the payload: a raw tobytes key holds the full vector (1 MB
+        # at ring 2^17) in BOTH cache dicts forever
+        import hashlib
+
+        vh = hashlib.sha1(values.tobytes()).digest()
+        key = (vh, values.dtype.char, level, sdeg, s)
         hit = self._pt_cache.get(key)
         if hit is not None:
             self._pt_cache.move_to_end(key)
@@ -217,8 +224,15 @@ class Evaluator:
             else:
                 host = _host_ntt_all(ctx, res, range(Ll)).astype(np.uint32)
             self._pt_host_cache[key] = host
-            if len(self._pt_host_cache) > self._pt_cache_entries:
-                self._pt_host_cache.popitem(last=False)
+            self._pt_host_used += host.nbytes
+            # byte-bound the HOST tier too: 1024 entries x ~60 MB
+            # full-chain ring-2^17 encodes = 61 GB - the host OOM (130 GB
+            # RSS, SIGKILL) that killed the first honest-security k-way
+            # run mid-sort
+            while (len(self._pt_host_cache) > self._pt_cache_entries
+                   or self._pt_host_used > self._pt_host_cache_bytes):
+                _, old = self._pt_host_cache.popitem(last=False)
+                self._pt_host_used -= old.nbytes
         else:
             self._pt_host_cache.move_to_end(key)
         if self.jit_ops:
@@ -313,10 +327,28 @@ class Evaluator:
 
     # -- level / scale adjustment -----------------------------------------
 
-    def level_reduce(self, a: Ciphertext, target_level: int) -> Ciphertext:
-        assert target_level >= a.level
+    def _drop_limbs(self, a: Ciphertext, target_level: int) -> Ciphertext:
+        """Raw limb drop: declared level changes, TRUE scale does not.
+        Internal only - callers must have arranged the scales to match."""
         Lt = self.ctx.limbs_at(target_level)
         return Ciphertext(a.data[:, :Lt], target_level, a.sdeg, a.slots)
+
+    def level_reduce(self, a: Ciphertext, target_level: int) -> Ciphertext:
+        """Descend to target_level preserving the declared-scale invariant.
+
+        Under FLEXIBLEAUTO, scale_dec(l) drifts with the prime chain, so a
+        raw limb drop leaves the value at the SOURCE level's scale while
+        the declared level says otherwise - a silent multiplicative error
+        of scale_dec(src)/scale_dec(dst) on everything downstream (the
+        flat 0.13%/0.84% "noise floor" of the ring 2^13/2^14 bootstrap
+        rows was exactly this, from the test harness's level_reduce; the
+        bootstrap itself was precise to ~2e-7).  When the scales differ,
+        route through adjust_level's exact scalar fold."""
+        assert target_level >= a.level
+        if (a.sdeg == 1 and self.ctx.scale_dec(target_level)
+                == self.ctx.scale_dec(a.level)):
+            return self._drop_limbs(a, target_level)
+        return self.adjust_level(a, target_level)
 
     def _adjust_level_impl(self, a: Ciphertext, target_level: int,
                            dev: DevState) -> Ciphertext:
@@ -338,7 +370,9 @@ class Evaluator:
         a = Ciphertext(a.data, la, 2, a.slots)
         a = self._rescale_data(a, dev)
         a = Ciphertext(a.data, a.level, 1, a.slots)
-        return self.level_reduce(a, target_level)
+        # raw drop: the t-fold above already landed the TRUE scale at
+        # scale_dec(target_level)
+        return self._drop_limbs(a, target_level)
 
     def adjust_level(self, a: Ciphertext, target_level: int) -> Ciphertext:
         return self._adjust_level_impl(a, target_level, self._dev)
