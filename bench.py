@@ -370,8 +370,9 @@ def _fetch(arr, timeout_s: float):
 def _forward_flags(args, n: int) -> list:
     """Worker argv carrying EVERY relevant CLI override (round-3 advice:
     --depth/--cn/--dg/--df were silently dropped for the secondary N)."""
-    # N>=512 reruns are expensive and the budget is hard: cap at 2 trials
-    trials = min(args.trials, 2) if n >= 512 else args.trials
+    # N>=512 reruns are expensive and the budget is hard: one timed trial
+    # (the full N=1024 worker measured ~1880 s, FG-compile dominated)
+    trials = min(args.trials, 1) if n >= 512 else args.trials
     cmd = [sys.executable, os.path.abspath(__file__), "--worker",
            "--n", str(n), "--ring", str(args.ring),
            "--trials", str(trials), "--comp", str(args.comp),
@@ -410,19 +411,20 @@ def main():
     ap.add_argument("--dnum", type=int, default=3)
     ap.add_argument("--worker", action="store_true",
                     help="internal: run one N in-process, print its JSON")
-    ap.add_argument("--budget-s", type=float, default=2400.0,
+    ap.add_argument("--budget-s", type=float, default=3000.0,
                     help="overall wall-clock budget for all Ns + retries. "
-                         "Must fit the driver's kill window: round 3 "
-                         "returned rc=0 after a >2000s run and round 4 was "
-                         "killed on a 4800s budget, so the window is in "
-                         "(~2500, 4800); 2400 keeps worst-case inside it. "
-                         "Streaming (below) makes even a kill recoverable.")
-    ap.add_argument("--attempt-timeout-s", type=float, default=1800.0,
+                         "The healthy path (N=128 ~550 s + N=1024 ~1790 s) "
+                         "finishes and FLUSHES all lines by ~2400 s; the "
+                         "budget only bounds pathological retries.  Round 3 "
+                         "returned rc=0 after a >2000 s run; streaming "
+                         "makes any later driver kill recoverable (the "
+                         "last complete stdout line is always a valid "
+                         "artifact).")
+    ap.add_argument("--attempt-timeout-s", type=float, default=2100.0,
                     help="per-worker-subprocess timeout (the N=1024 worker "
-                         "needs ~20-25 min: the fused PS stage alone is a "
-                         "~12 min relay compile that no client-side cache "
-                         "removes; if it still overruns, the streamed "
-                         "N=128 line already carries the round)")
+                         "measured ~1880 s with 2 trials, ~1790 s with 1: "
+                         "the fused PS stage alone is a ~12 min relay "
+                         "compile no client-side cache removes)")
     args = ap.parse_args()
 
     if args.worker:

@@ -104,7 +104,14 @@ def main():
     # against HBM below before any allocation.
     basis = sorted({1 << i for i in range(16)}
                    | {-(1 << i) for i in range(4)})
-    rot = RotationComposer(ev, basis, lazy_key_budget=args.lazy_keys)
+    # --lazy-keys 0 => compose-only: every transform rotation decomposes
+    # over the direct basis (avg ~5 hops).  ~1.6x a 1-hop bootstrap, but
+    # ZERO on-device keygen churn: with a lazy pool the ~174 recurring
+    # BSGS indices regenerate ~150 keys (~50 GB of churn) per bootstrap,
+    # and the relay's host mirrors of that churn grew ~12 GB RSS per
+    # bootstrap straight into the OOM killer (twice).
+    rot = RotationComposer(ev, basis,
+                           lazy_key_budget=args.lazy_keys or None)
     bs = Bootstrapper(ev, K=args.boot_k, sin_degree=args.sin_degree,
                       level_budget=(lb, lb), asin_terms=2,
                       double_angle=args.double_angle, rot=rot)
@@ -118,14 +125,24 @@ def main():
           f"lazy pool {args.lazy_keys})", file=sys.stderr, flush=True)
 
     fired = []
+    import gc
+    import resource
 
     def bfn(ct):
         t = time.time()
         out = bs.bootstrap(ct)
         out.data.block_until_ready()
         fired.append(round(time.time() - t, 1))
+        # the lazy key pool churns ~30 GB of on-device keygen per
+        # bootstrap; the relay defers frees, so give its reclamation a
+        # beat (the first honest run grew ~12 GB host RSS per bootstrap
+        # straight into the OOM killer)
+        gc.collect()
+        time.sleep(2.0)
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1048576
         print(f"# bootstrap #{len(fired)} at level {ct.level}: "
-              f"{fired[-1]}s", file=sys.stderr, flush=True)
+              f"{fired[-1]}s (peak RSS {rss:.1f} GB)", file=sys.stderr,
+              flush=True)
         return out
 
     k, M = 2, int(math.log2(n_arr))
