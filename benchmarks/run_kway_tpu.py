@@ -53,11 +53,12 @@ def main():
     ap.add_argument("--sin-degree", type=int, default=270)
     ap.add_argument("--double-angle", type=int, default=4)
     ap.add_argument("--lazy-keys", type=int, default=6)
-    ap.add_argument("--trials", type=int, default=1)
+    ap.add_argument("--trials", type=int, default=1,
+                    help="0 = warm-up only (value null, warmup recorded)")
     ap.add_argument("--out", default="experiment_results/kway_tpu/"
                                      "N16_honest.json")
     args = ap.parse_args()
-    args.trials = max(1, args.trials)
+    args.trials = max(0, args.trials)
 
     import jax
 
@@ -96,7 +97,12 @@ def main():
 
     keys = Keys.generate(ctx, seed=0)
     keys.gen_conj_key()
-    ev = Evaluator(ctx, keys)
+    # 3.5 GB device plaintext cache: at levelBudget (4,4) the C2S/S2C
+    # diagonal working set is ~7 GB (vs ~14 GB at (3,3)); every cached
+    # entry is one fewer 45 MB re-upload per bootstrap through the
+    # relay's per-upload-leaking staging path (the 12 GB-RSS-per-
+    # bootstrap OOMs of the first three attempts)
+    ev = Evaluator(ctx, keys, pt_cache_bytes=3584 << 20)
     lb = args.level_budget
     # fallback basis: positive powers of two (bootstrap giants decompose
     # over it or hit the lazy pool) + the sorter's small negative steps.
@@ -138,7 +144,11 @@ def main():
         # beat (the first honest run grew ~12 GB host RSS per bootstrap
         # straight into the OOM killer)
         gc.collect()
-        time.sleep(2.0)
+        # a real idle window: the relay reclaims deferred frees only when
+        # the client is quiescent (bench.py's 15-30 s lesson; 2 s did not
+        # stop the ~12 GB/bootstrap mirror growth)
+        time.sleep(20.0)
+        gc.collect()
         rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1048576
         print(f"# bootstrap #{len(fired)} at level {ct.level}: "
               f"{fired[-1]}s (peak RSS {rss:.1f} GB)", file=sys.stderr,
@@ -173,6 +183,21 @@ def main():
             err = float(np.abs(got - expected).max())
             print(f"# max sort error: {err:.2e}", file=sys.stderr,
                   flush=True)
+            # provisional artifact NOW: a later OOM/kill must not erase
+            # the completed warm-up evidence
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump({
+                    "metric": (f"kway_k2_n{n_arr}_ring{ring}"
+                               "_uniform_wall_clock"),
+                    "unit": "s", "value": None,
+                    "warmup_incl_compile_s": round(warm, 1),
+                    "max_error": err, "bootstraps": len(fired),
+                    "bootstrap_s_each": list(fired),
+                    "logqp_bits": round(logqp, 1),
+                    "security_128bit": sec_ok,
+                    "secret": "uniform_ternary", "provisional": True,
+                }, f, indent=1)
         else:
             times.append(dt)
             print(f"# trial {t}: {dt:.1f}s", file=sys.stderr, flush=True)

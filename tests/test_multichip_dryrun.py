@@ -5,14 +5,23 @@ plaintext LRU cache, MULTICHIP_r01.json ok=false); this test runs the exact
 driver entry point `__graft_entry__.dryrun_multichip(8)` on the 8 virtual
 CPU devices the conftest provides, so the sharded path can never silently
 regress again.
+
+Slow-marked since round 5: even dieted it is ~6-10 min cold on this
+2-core host and was most of the default suite's budget overrun (round-2
+"<15 min" target).  The default suite still covers the sharded machinery
+through tests/test_limb_parallel.py; the full dryrun runs under -m slow
+and as the driver's MULTICHIP_r0x artifact every round.
 """
 
 import sys
 import os
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8(capsys):
     from __graft_entry__ import dryrun_multichip
 
