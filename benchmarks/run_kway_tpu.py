@@ -55,6 +55,18 @@ def main():
     ap.add_argument("--lazy-keys", type=int, default=6)
     ap.add_argument("--trials", type=int, default=1,
                     help="0 = warm-up only (value null, warmup recorded)")
+    ap.add_argument("--stage-lo", type=int, default=0)
+    ap.add_argument("--stage-hi", type=int, default=None,
+                    help="run stages [lo, hi) then save --ct-out and exit "
+                         "(process-isolation checkpoint: the relay client "
+                         "leaks host RAM per dispatch and one process "
+                         "cannot survive a full 15-bootstrap sort)")
+    ap.add_argument("--ct-in", default=None)
+    ap.add_argument("--ct-out", default=None)
+    ap.add_argument("--prev-s", type=float, default=0.0,
+                    help="wall-clock of earlier stage windows (merged "
+                         "into the final artifact)")
+    ap.add_argument("--prev-boots", type=int, default=0)
     ap.add_argument("--out", default="experiment_results/kway_tpu/"
                                      "N16_honest.json")
     args = ap.parse_args()
@@ -102,7 +114,10 @@ def main():
     # entry is one fewer 45 MB re-upload per bootstrap through the
     # relay's per-upload-leaking staging path (the 12 GB-RSS-per-
     # bootstrap OOMs of the first three attempts)
-    ev = Evaluator(ctx, keys, pt_cache_bytes=3584 << 20)
+    ev = Evaluator(ctx, keys, pt_cache_bytes=4608 << 20)
+    # and a tighter HOST encode cache: baseline RSS is part of the same
+    # 125 GB budget the per-upload leak eats into
+    ev._pt_host_cache_bytes = 10 << 30
     lb = args.level_budget
     # fallback basis: positive powers of two (bootstrap giants decompose
     # over it or hit the lazy pool) + the sorter's small negative steps.
@@ -161,53 +176,49 @@ def main():
     cfg = SignConfig(CompositeSignConfig(3, 3, 2),
                      mult_depth=ctx.params.mult_depth)
 
+    from fhe_sorting_tpu.core.serialize import (
+        load_ciphertext, save_ciphertext,
+    )
+
     rng = np.random.default_rng(0)
     vals = rng.permutation(n_arr) / n_arr + 0.5 / n_arr
     expected = np.sort(vals)
-    ct = keys.encrypt(vals, slots=n_arr)
+    if args.ct_in:
+        ct = load_ciphertext(args.ct_in)
+        print(f"# resumed ct from {args.ct_in} (level {ct.level})",
+              file=sys.stderr, flush=True)
+    else:
+        ct = keys.encrypt(vals, slots=n_arr)
 
-    times = []
-    err = None
-    warm = None
-    for t in range(args.trials + 1):  # first run = warm-up (compile incl.)
-        fired.clear()
-        t0 = time.time()
-        out = srt.sort(ct, SignFunc.CompositeSign, cfg)
-        out.data.block_until_ready()
-        dt = time.time() - t0
-        if t == 0:
-            warm = dt
-            print(f"# warm-up sort (compile incl.): {dt:.1f}s, "
-                  f"{len(fired)} bootstraps", file=sys.stderr, flush=True)
-            got = keys.decrypt(out, n_arr)
-            err = float(np.abs(got - expected).max())
-            print(f"# max sort error: {err:.2e}", file=sys.stderr,
-                  flush=True)
-            # provisional artifact NOW: a later OOM/kill must not erase
-            # the completed warm-up evidence
-            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-            with open(args.out, "w") as f:
-                json.dump({
-                    "metric": (f"kway_k2_n{n_arr}_ring{ring}"
-                               "_uniform_wall_clock"),
-                    "unit": "s", "value": None,
-                    "warmup_incl_compile_s": round(warm, 1),
-                    "max_error": err, "bootstraps": len(fired),
-                    "bootstrap_s_each": list(fired),
-                    "logqp_bits": round(logqp, 1),
-                    "security_128bit": sec_ok,
-                    "secret": "uniform_ternary", "provisional": True,
-                }, f, indent=1)
-        else:
-            times.append(dt)
-            print(f"# trial {t}: {dt:.1f}s", file=sys.stderr, flush=True)
-    best = min(times) if times else None
+    t0 = time.time()
+    out = srt.sort(ct, SignFunc.CompositeSign, cfg,
+                   stage_lo=args.stage_lo, stage_hi=args.stage_hi)
+    out.data.block_until_ready()
+    dt = time.time() - t0
+    hi = args.stage_hi if args.stage_hi is not None else "end"
+    print(f"# stages [{args.stage_lo}, {hi}): {dt:.1f}s "
+          f"(compile incl.), {len(fired)} bootstraps", file=sys.stderr,
+          flush=True)
+
+    if args.ct_out:
+        save_ciphertext(args.ct_out, out)
+        print(json.dumps({"partial_s": round(dt, 1),
+                          "bootstraps": len(fired),
+                          "ct_out": args.ct_out}), flush=True)
+        return
+
+    got = keys.decrypt(out, n_arr)
+    err = float(np.abs(got - expected).max())
+    print(f"# max sort error: {err:.2e}", file=sys.stderr, flush=True)
+    total_s = args.prev_s + dt
+    total_boots = args.prev_boots + len(fired)
 
     row = {
         "metric": f"kway_k2_n{n_arr}_ring{ring}_uniform_wall_clock",
-        "unit": "s", "value": round(best, 3) if best else None,
-        "warmup_incl_compile_s": round(warm, 1) if warm else None,
-        "max_error": err, "bootstraps": len(fired),
+        "unit": "s", "value": round(total_s, 1),
+        "value_is_compile_inclusive": True,
+        "split_processes": bool(args.ct_in),
+        "max_error": err, "bootstraps": total_boots,
         "bootstrap_s_each": fired,
         "logqp_bits": round(logqp, 1), "logqp_128bit_budget": budget,
         "security_128bit": sec_ok, "secret": "uniform_ternary",
@@ -218,7 +229,7 @@ def main():
         "baseline_ref_s": 472.66,
         "baseline_src": "kway_k2 total_results.txt N=16 (reference CPU, "
                         "same ring/security/algorithm)",
-        "vs_baseline": round(472.66 / best, 2) if best else None,
+        "vs_baseline": round(472.66 / total_s, 2),
     }
     print(json.dumps(row), flush=True)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

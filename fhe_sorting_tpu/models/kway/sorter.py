@@ -170,11 +170,21 @@ class KWaySorter(SortBase):
     # -- stage loop (Sorter.cpp:284-404) ----------------------------------
 
     def sort(self, ct: Ciphertext, sign_func: SignFunc = SignFunc.CompositeSign,
-             cfg: SignConfig | None = None) -> Ciphertext:
+             cfg: SignConfig | None = None, stage_lo: int = 0,
+             stage_hi: int | None = None) -> Ciphertext:
+        """Run stages [stage_lo, stage_hi) (default: all).
+
+        The stage window exists so a sort can be CHECKPOINTED across
+        processes (core/serialize.py round-trips the carried ciphertext):
+        at ring 2^17 the TPU relay client leaks host memory per dispatch,
+        and a full 10-stage bootstrapped sort exceeds the host's 125 GB
+        before finishing - two half-sorts in fresh processes complete
+        (the same per-process isolation bench.py uses for its workers)."""
         ev, k, M = self.ev, self.k, self.M
         cfg = cfg or SignConfig()
         L = SORTER_LEVELS
-        for stage in range(num_stages(k, M)):
+        hi = num_stages(k, M) if stage_hi is None else stage_hi
+        for stage in range(stage_lo, hi):
             m, log_dist, slope = sort_type(k, M, stage)
             shift = get_rotate_distance(k, log_dist, slope)
             indices = np.zeros((2, self.num_slots), dtype=np.int64)

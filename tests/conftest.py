@@ -11,7 +11,16 @@ time, so the env var alone is not enough - we must update jax.config.
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    _flags += " --xla_force_host_platform_device_count=8"
+# Pin XLA:CPU codegen to a portable ISA: persistent-cache AOT entries
+# compiled with host-specific machine features can SIGILL/segfault when
+# loaded on another host (and the loader only warns).  Same pin as
+# __graft_entry__.dryrun_multichip, so suite and dryrun share entries.
+if "xla_cpu_max_isa" not in _flags:
+    _flags += " --xla_cpu_max_isa=AVX2"
+os.environ["XLA_FLAGS"] = _flags.strip()
 
 import jax
 
