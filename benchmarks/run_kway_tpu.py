@@ -200,14 +200,31 @@ def main():
           f"(compile incl.), {len(fired)} bootstraps", file=sys.stderr,
           flush=True)
 
+    def _fetch_retry(write):
+        """D2H with pressure relief: after a heavy window the relay's
+        transfer path returns RESOURCE_EXHAUSTED until deferred frees
+        catch up - drop the device plaintext cache and retry."""
+        for attempt in range(4):
+            try:
+                return write()
+            except Exception as e:  # noqa: BLE001
+                print(f"# D2H attempt {attempt} failed "
+                      f"({type(e).__name__}); clearing caches + waiting",
+                      file=sys.stderr, flush=True)
+                ev._pt_cache.clear()
+                ev._pt_cache_used = 0
+                gc.collect()
+                time.sleep(30.0)
+        return write()
+
     if args.ct_out:
-        save_ciphertext(args.ct_out, out)
+        _fetch_retry(lambda: save_ciphertext(args.ct_out, out))
         print(json.dumps({"partial_s": round(dt, 1),
                           "bootstraps": len(fired),
                           "ct_out": args.ct_out}), flush=True)
         return
 
-    got = keys.decrypt(out, n_arr)
+    got = _fetch_retry(lambda: keys.decrypt(out, n_arr))
     err = float(np.abs(got - expected).max())
     print(f"# max sort error: {err:.2e}", file=sys.stderr, flush=True)
     total_s = args.prev_s + dt
